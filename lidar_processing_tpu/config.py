@@ -1,0 +1,109 @@
+"""Typed configuration tree for the TPU-native LiDAR perception engine.
+
+Mirrors the reference's three hard-coded config structs
+(ref: src/segmentation.hpp:48-56, src/clustering.hpp:42-48,
+src/polygonization.hpp:51-58) plus the pipeline/runtime settings that in the
+reference live as magic constants (ref: src/processor.cpp:88-90 200k
+preallocation, src/dataloader.cpp:30 10 Hz publication rate).
+
+Because a TPU program is traced to static shapes, padded buffer sizes are
+first-class configuration here rather than runtime `reserve()` calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    """Ground-plane-fitting (GPF) parameters.
+
+    Field-for-field equivalent of the reference's ``SegmentationConfiguration``
+    (ref: src/segmentation.hpp:48-56); defaults are identical.
+    """
+
+    sensor_height_m: float = 1.73
+    orthogonal_distance_threshold: float = 0.3
+    initial_seed_threshold: float = 0.6
+    number_of_iterations: int = 3
+    number_of_planar_partitions: int = 2
+    number_of_lower_point_representatives: int = 5000
+    # Multiplier for the below-ground outlier cutoff: points with
+    # z <= -z_min_outlier_scale * sensor_height_m are excluded from seed
+    # selection (ref: src/segmentation.cpp:171 hard-codes -1.5).
+    z_min_outlier_scale: float = 1.5
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusteringConfig:
+    """Euclidean clustering parameters.
+
+    Field-for-field equivalent of the reference's ``ClusteringConfiguration``
+    (ref: src/clustering.hpp:42-48); defaults are identical. ``cluster_quality``
+    is kept for API parity: in the reference's FEC it trades work for identical
+    connectivity in dense clouds; the TPU engine computes exact connected
+    components of the radius graph, which is order-independent (see
+    ops/clustering.py docstring for the equivalence discussion).
+    """
+
+    distance_squared: float = 0.18
+    cluster_quality: float = 0.5
+    min_cluster_size: int = 4
+    max_cluster_size: int = 2**32 - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PolygonizationConfig:
+    """Cluster-outline extraction parameters.
+
+    Mirrors the reference's ``PolygonizationConfiguration``
+    (ref: src/polygonization.hpp:51-58) plus the live-path magic constants
+    (ref: src/polygon_simplification.cpp:98 '<20 points => convex hull',
+    :129 'chi=0.2', :55 '>1000 points => Chan').
+    """
+
+    polygonizer_concave: bool = True
+    simplify_convex_by_maximum_points: bool = True
+    max_points_in_polygon: int = 300
+    small_cluster_size: int = 20         # below this: convex hull instead
+    chi: float = 0.2                     # chi-shape concavity parameter
+    chan_threshold: int = 1000           # above this: Chan's algorithm
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static shapes and runtime settings for the device pipeline.
+
+    The reference preallocates 200k-point buffers (ref: src/processor.cpp:88-90)
+    and publishes frames at 10 Hz (ref: src/dataloader.cpp:30). Here the padded
+    sizes bound the traced shapes; 2**17 = 131072 covers the largest bundled
+    KITTI frame (124,123 points).
+    """
+
+    max_points: int = 131072             # padded points per frame
+    max_clusters: int = 256              # padded cluster slots for hull stage
+    max_cluster_points: int = 4096       # padded points per cluster for hulls
+    max_hull_vertices: int = 512         # padded vertices per output polygon
+    # Voxel-grid cell capacity for clustering (checked at runtime; an overflow
+    # counter is reported so tests can assert sufficiency on the dataset).
+    cell_capacity: int = 64
+    replay_rate_hz: float = 10.0         # ref: src/dataloader.cpp:30
+    queue_depth: int = 2                 # DDS QoS keep-last depth (processor.cpp:69)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level config bundle for the whole engine."""
+
+    segmentation: SegmentationConfig = SegmentationConfig()
+    clustering: ClusteringConfig = ClusteringConfig()
+    polygonization: PolygonizationConfig = PolygonizationConfig()
+    pipeline: PipelineConfig = PipelineConfig()
+
+    def replace(self, **kwargs) -> "EngineConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+DEFAULT_CONFIG = EngineConfig()
