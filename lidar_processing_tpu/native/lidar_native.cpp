@@ -1,0 +1,487 @@
+// Native host-side geometry + graph kernels for the TPU LiDAR engine.
+//
+// Plays the role of the reference's external C++ hull submodules
+// (ref: /root/reference/CMakeLists.txt:24-25,66-67 — Convex-Hull and
+// Concave-Hull targets, called from polygon_simplification.cpp:56-62,129-130)
+// plus a host union-find used by tests and the streaming runtime's
+// large-cluster path. Everything is exposed through a C ABI and loaded from
+// Python via ctypes (ops/hull_native.py).
+//
+// Contents:
+//   convex_hull       — Andrew monotone chain, CCW, strictly convex.
+//   chi_concave_hull  — chi-shape (Duckham et al. 2008): Delaunay
+//                       triangulation (Bowyer-Watson) + iterative
+//                       longest-boundary-edge peeling under the regularity
+//                       constraint; threshold l_min + chi*(l_max-l_min).
+//   union_find_cc     — connected components over an edge list.
+//   radius_cc         — exact Euclidean radius-graph connected components
+//                       via voxel hashing (27-cell neighborhood), the host
+//                       oracle for clustering (ref behavior:
+//                       src/clustering.cpp:47-125).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct P2 {
+  double x, y;
+};
+
+inline double cross(const P2& o, const P2& a, const P2& b) {
+  return (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x);
+}
+
+// ---------------------------------------------------------------------------
+// Convex hull: Andrew monotone chain, CCW, strictly convex vertices only.
+// ---------------------------------------------------------------------------
+std::vector<int32_t> convex_hull_impl(const float* pts, int32_t n) {
+  std::vector<int32_t> order(n);
+  for (int32_t i = 0; i < n; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    if (pts[2 * a] != pts[2 * b]) return pts[2 * a] < pts[2 * b];
+    return pts[2 * a + 1] < pts[2 * b + 1];
+  });
+  auto at = [&](int32_t i) {
+    return P2{static_cast<double>(pts[2 * i]),
+              static_cast<double>(pts[2 * i + 1])};
+  };
+  std::vector<int32_t> h(2 * n);
+  int32_t k = 0;
+  // lower hull
+  for (int32_t ii = 0; ii < n; ++ii) {
+    int32_t i = order[ii];
+    while (k >= 2 && cross(at(h[k - 2]), at(h[k - 1]), at(i)) <= 0) --k;
+    h[k++] = i;
+  }
+  // upper hull
+  for (int32_t ii = n - 2, lower = k + 1; ii >= 0; --ii) {
+    int32_t i = order[ii];
+    while (k >= lower && cross(at(h[k - 2]), at(h[k - 1]), at(i)) <= 0) --k;
+    h[k++] = i;
+  }
+  h.resize(k > 1 ? k - 1 : k);  // drop duplicated first point
+  return h;
+}
+
+// ---------------------------------------------------------------------------
+// Delaunay triangulation: Bowyer-Watson with walk-based point location.
+// Triangles store vertex indices (into the input) and neighbor triangle ids.
+// A super-triangle is added; its vertices get ids n..n+2.
+// ---------------------------------------------------------------------------
+struct Tri {
+  int32_t v[3];   // CCW vertices
+  int32_t nb[3];  // nb[k] is the neighbor across edge (v[k], v[(k+1)%3])
+  bool alive;
+};
+
+struct Delaunay {
+  std::vector<P2> p;        // n input points + 3 super vertices
+  std::vector<Tri> tris;
+  int32_t n;                // number of real points
+  bool ok = false;
+
+  inline double orient(int32_t a, int32_t b, int32_t c) const {
+    return cross(p[a], p[b], p[c]);
+  }
+
+  // in-circumcircle test: positive if d inside circle through a,b,c (CCW)
+  inline double incircle(int32_t a, int32_t b, int32_t c, int32_t d) const {
+    const double adx = p[a].x - p[d].x, ady = p[a].y - p[d].y;
+    const double bdx = p[b].x - p[d].x, bdy = p[b].y - p[d].y;
+    const double cdx = p[c].x - p[d].x, cdy = p[c].y - p[d].y;
+    const double ad = adx * adx + ady * ady;
+    const double bd = bdx * bdx + bdy * bdy;
+    const double cd = cdx * cdx + cdy * cdy;
+    return adx * (bdy * cd - bd * cdy) - ady * (bdx * cd - bd * cdx) +
+           ad * (bdx * cdy - bdy * cdx);
+  }
+
+  void build(const float* pts, int32_t count) {
+    n = count;
+    p.resize(n + 3);
+    double xmin = 1e300, xmax = -1e300, ymin = 1e300, ymax = -1e300;
+    for (int32_t i = 0; i < n; ++i) {
+      p[i] = {static_cast<double>(pts[2 * i]),
+              static_cast<double>(pts[2 * i + 1])};
+      xmin = std::min(xmin, p[i].x); xmax = std::max(xmax, p[i].x);
+      ymin = std::min(ymin, p[i].y); ymax = std::max(ymax, p[i].y);
+    }
+    const double w = std::max({xmax - xmin, ymax - ymin, 1e-9});
+    const double cx = 0.5 * (xmin + xmax), cy = 0.5 * (ymin + ymax);
+    // big super-triangle
+    p[n]     = {cx - 20.0 * w, cy - 10.0 * w};
+    p[n + 1] = {cx + 20.0 * w, cy - 10.0 * w};
+    p[n + 2] = {cx,            cy + 20.0 * w};
+    tris.clear();
+    tris.push_back({{n, n + 1, n + 2}, {-1, -1, -1}, true});
+
+    // insertion order: Morton-ish spatial sort for walk locality
+    std::vector<int32_t> order(n);
+    for (int32_t i = 0; i < n; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+      // interleave 16-bit grid coords
+      auto key = [&](int32_t i) {
+        uint64_t gx = static_cast<uint64_t>((p[i].x - xmin) / w * 65535.0);
+        uint64_t gy = static_cast<uint64_t>((p[i].y - ymin) / w * 65535.0);
+        uint64_t k = 0;
+        for (int b2 = 0; b2 < 16; ++b2)
+          k |= ((gx >> b2) & 1ULL) << (2 * b2) |
+               ((gy >> b2) & 1ULL) << (2 * b2 + 1);
+        return k;
+      };
+      return key(a) < key(b);
+    });
+
+    int32_t last = 0;  // walk start
+    std::vector<int32_t> bad, cavity_tri;
+    std::vector<char> in_cavity;
+    for (int32_t oi = 0; oi < n; ++oi) {
+      const int32_t pi = order[oi];
+      // skip exact duplicates of already-inserted points (walk finds them)
+      const int32_t t0 = locate(pi, last);
+      if (t0 < 0) { ok = false; return; }
+      // --- collect cavity: BFS over triangles whose circumcircle holds pi
+      bad.clear();
+      if (static_cast<size_t>(tris.size()) > in_cavity.size())
+        in_cavity.resize(tris.size() * 2, 0);
+      std::vector<int32_t> stack{t0};
+      in_cavity[t0] = 1;
+      bool dup = false;
+      while (!stack.empty() && !dup) {
+        const int32_t t = stack.back();
+        stack.pop_back();
+        bad.push_back(t);
+        for (int k = 0; k < 3; ++k) {
+          // duplicate-point guard
+          if (p[tris[t].v[k]].x == p[pi].x && p[tris[t].v[k]].y == p[pi].y &&
+              tris[t].v[k] != pi) { dup = true; break; }
+          const int32_t nb = tris[t].nb[k];
+          if (nb >= 0 && !in_cavity[nb] &&
+              incircle(tris[nb].v[0], tris[nb].v[1], tris[nb].v[2], pi) > 0) {
+            in_cavity[nb] = 1;
+            stack.push_back(nb);
+          }
+        }
+      }
+      if (dup) {                      // duplicate: skip the point entirely
+        for (int32_t t : bad) in_cavity[t] = 0;
+        for (int32_t t : stack) in_cavity[t] = 0;
+        continue;
+      }
+      // --- boundary edges of the cavity (edge of bad tri whose neighbor is
+      //     not in the cavity), kept with their outside neighbor
+      struct BEdge { int32_t a, b, outside; };
+      std::vector<BEdge> bound;
+      for (int32_t t : bad) {
+        for (int k = 0; k < 3; ++k) {
+          const int32_t nb = tris[t].nb[k];
+          if (nb < 0 || !in_cavity[nb])
+            bound.push_back({tris[t].v[k], tris[t].v[(k + 1) % 3], nb});
+        }
+      }
+      // --- retriangulate: one new triangle per boundary edge
+      std::vector<int32_t> fresh(bound.size());
+      for (size_t e = 0; e < bound.size(); ++e) {
+        const int32_t id = (e < bad.size())
+                               ? bad[e]
+                               : (tris.push_back({}), (int32_t)tris.size() - 1);
+        fresh[e] = id;
+      }
+      if (static_cast<size_t>(tris.size()) > in_cavity.size())
+        in_cavity.resize(tris.size() * 2, 0);
+      // map from directed edge start vertex -> new tri (cavity boundary is a
+      // simple cycle; each vertex starts exactly one boundary edge)
+      std::unordered_map<int32_t, int32_t> edge_start;
+      edge_start.reserve(bound.size() * 2);
+      for (size_t e = 0; e < bound.size(); ++e)
+        edge_start[bound[e].a] = fresh[e];
+      for (size_t e = 0; e < bound.size(); ++e) {
+        Tri& t = tris[fresh[e]];
+        t.v[0] = bound[e].a; t.v[1] = bound[e].b; t.v[2] = pi;
+        t.alive = true;
+        t.nb[0] = bound[e].outside;
+        // fix the outside neighbor's back-pointer
+        if (bound[e].outside >= 0) {
+          Tri& o = tris[bound[e].outside];
+          for (int k = 0; k < 3; ++k)
+            if ((o.v[k] == bound[e].b && o.v[(k + 1) % 3] == bound[e].a))
+              o.nb[k] = fresh[e];
+        }
+        // neighbor across (b, pi) is the new tri starting at b;
+        // neighbor across (pi, a) is the new tri ENDING at a.
+        t.nb[1] = edge_start.count(bound[e].b) ? edge_start[bound[e].b] : -1;
+      }
+      for (size_t e = 0; e < bound.size(); ++e) {
+        Tri& t = tris[fresh[e]];
+        const int32_t nb1 = t.nb[1];
+        if (nb1 >= 0) tris[nb1].nb[2] = fresh[e];
+      }
+      for (int32_t t : bad) in_cavity[t] = 0;
+      last = fresh.empty() ? last : fresh[0];
+    }
+    // drop triangles using super vertices
+    for (auto& t : tris)
+      if (t.alive && (t.v[0] >= n || t.v[1] >= n || t.v[2] >= n))
+        t.alive = false;
+    ok = true;
+  }
+
+  // walk from triangle `start` toward point pi; returns containing triangle
+  int32_t locate(int32_t pi, int32_t start) const {
+    int32_t t = start;
+    if (t < 0 || !tris[t].alive) {
+      for (size_t i = 0; i < tris.size(); ++i)
+        if (tris[i].alive) { t = static_cast<int32_t>(i); break; }
+    }
+    for (int64_t steps = 0;
+         steps < static_cast<int64_t>(tris.size()) * 4 + 16; ++steps) {
+      const Tri& tr = tris[t];
+      int32_t next = -1;
+      for (int k = 0; k < 3; ++k) {
+        if (orient(tr.v[k], tr.v[(k + 1) % 3], pi) < 0) {
+          if (tr.nb[k] >= 0) { next = tr.nb[k]; break; }
+        }
+      }
+      if (next < 0) return t;
+      t = next;
+    }
+    return -1;  // walk failed (degenerate input)
+  }
+};
+
+// key for an undirected edge
+inline uint64_t ekey(int32_t a, int32_t b) {
+  if (a > b) std::swap(a, b);
+  return (static_cast<uint64_t>(static_cast<uint32_t>(a)) << 32) |
+         static_cast<uint32_t>(b);
+}
+
+// ---------------------------------------------------------------------------
+// chi-shape peeling over the Delaunay boundary.
+// ---------------------------------------------------------------------------
+int32_t chi_hull_impl(const float* pts, int32_t n, double chi,
+                      int32_t* out, int32_t cap) {
+  Delaunay dt;
+  dt.build(pts, n);
+  if (!dt.ok) return -2;  // degenerate: caller falls back to convex hull
+
+  // edge -> adjacent alive triangles
+  std::unordered_map<uint64_t, std::pair<int32_t, int32_t>> edge_tris;
+  edge_tris.reserve(dt.tris.size() * 2);
+  double l_min = std::numeric_limits<double>::max(), l_max = 0.0;
+  auto elen = [&](int32_t a, int32_t b) {
+    const double dx = dt.p[a].x - dt.p[b].x, dy = dt.p[a].y - dt.p[b].y;
+    return std::sqrt(dx * dx + dy * dy);
+  };
+  int32_t alive_cnt = 0;
+  for (size_t t = 0; t < dt.tris.size(); ++t) {
+    if (!dt.tris[t].alive) continue;
+    ++alive_cnt;
+    for (int k = 0; k < 3; ++k) {
+      const int32_t a = dt.tris[t].v[k], b = dt.tris[t].v[(k + 1) % 3];
+      auto& slot = edge_tris[ekey(a, b)];
+      if (slot.first == 0 && slot.second == 0) slot = {-1, -1};
+      (slot.first < 0 ? slot.first : slot.second) = static_cast<int32_t>(t);
+    }
+  }
+  if (alive_cnt == 0) return -2;
+  for (auto& kv : edge_tris) {
+    const int32_t a = static_cast<int32_t>(kv.first >> 32);
+    const int32_t b = static_cast<int32_t>(kv.first & 0xffffffffu);
+    const double l = elen(a, b);
+    l_min = std::min(l_min, l);
+    l_max = std::max(l_max, l);
+  }
+  const double l_thresh = l_min + chi * (l_max - l_min);
+
+  std::unordered_map<int32_t, int32_t> boundary_deg;
+  std::vector<char> is_boundary_edge;  // parallel to heap entries? use set:
+  std::unordered_map<uint64_t, char> boundary;
+  using HeapItem = std::pair<double, uint64_t>;  // (length, edge)
+  std::priority_queue<HeapItem> heap;
+  std::vector<char> tri_alive(dt.tris.size(), 0);
+  for (size_t t = 0; t < dt.tris.size(); ++t)
+    tri_alive[t] = dt.tris[t].alive ? 1 : 0;
+  for (auto& kv : edge_tris) {
+    if (kv.second.second < 0) {  // single adjacent triangle => boundary
+      boundary[kv.first] = 1;
+      const int32_t a = static_cast<int32_t>(kv.first >> 32);
+      const int32_t b = static_cast<int32_t>(kv.first & 0xffffffffu);
+      ++boundary_deg[a];
+      ++boundary_deg[b];
+      heap.push({elen(a, b), kv.first});
+    }
+  }
+
+  while (!heap.empty()) {
+    auto [l, e] = heap.top();
+    heap.pop();
+    auto it = boundary.find(e);
+    if (it == boundary.end() || !it->second) continue;
+    if (l <= l_thresh) break;
+    auto& ts = edge_tris[e];
+    int32_t t = -1, cnt = 0;
+    if (ts.first >= 0 && tri_alive[ts.first]) { t = ts.first; ++cnt; }
+    if (ts.second >= 0 && tri_alive[ts.second]) { t = ts.second; ++cnt; }
+    if (cnt != 1) continue;
+    const int32_t a = static_cast<int32_t>(e >> 32);
+    const int32_t b = static_cast<int32_t>(e & 0xffffffffu);
+    int32_t opp = -1;
+    for (int k = 0; k < 3; ++k) {
+      const int32_t v = dt.tris[t].v[k];
+      if (v != a && v != b) opp = v;
+    }
+    if (boundary_deg[opp] > 0) continue;  // regularity constraint
+    boundary[e] = 0;
+    tri_alive[t] = 0;
+    for (int32_t v : {a, b}) {
+      const uint64_t ne = ekey(v, opp);
+      boundary[ne] = 1;
+      heap.push({elen(v, opp), ne});
+    }
+    boundary_deg[opp] += 2;
+  }
+
+  // walk the boundary cycle starting from the minimum vertex
+  std::unordered_map<int32_t, std::vector<int32_t>> adj;
+  for (auto& kv : boundary) {
+    if (!kv.second) continue;
+    const int32_t a = static_cast<int32_t>(kv.first >> 32);
+    const int32_t b = static_cast<int32_t>(kv.first & 0xffffffffu);
+    adj[a].push_back(b);
+    adj[b].push_back(a);
+  }
+  if (adj.empty()) return -2;
+  int32_t start = std::numeric_limits<int32_t>::max();
+  for (auto& kv : adj) start = std::min(start, kv.first);
+  std::vector<int32_t> walk{start};
+  int32_t prev = -1, cur = start;
+  while (true) {
+    int32_t nxt = -1;
+    for (int32_t v : adj[cur])
+      if (v != prev) { nxt = v; break; }
+    if (nxt < 0 || nxt == start) break;
+    walk.push_back(nxt);
+    prev = cur;
+    cur = nxt;
+    if (static_cast<int32_t>(walk.size()) > n) break;  // safety
+  }
+  if (static_cast<int32_t>(walk.size()) > cap) return -1;  // caller: grow
+  std::memcpy(out, walk.data(), walk.size() * sizeof(int32_t));
+  return static_cast<int32_t>(walk.size());
+}
+
+// ---------------------------------------------------------------------------
+// Union-find
+// ---------------------------------------------------------------------------
+struct DSU {
+  std::vector<int32_t> parent;
+  explicit DSU(int32_t n) : parent(n) {
+    for (int32_t i = 0; i < n; ++i) parent[i] = i;
+  }
+  int32_t find(int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];  // path halving
+      x = parent[x];
+    }
+    return x;
+  }
+  void unite(int32_t a, int32_t b) {
+    a = find(a); b = find(b);
+    if (a == b) return;
+    if (a > b) std::swap(a, b);      // min-id root => canonical labels
+    parent[b] = a;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// CCW strictly-convex hull indices. Returns count, or -1 if cap too small.
+int32_t convex_hull(const float* pts, int32_t n, int32_t* out, int32_t cap) {
+  if (n <= 0) return 0;
+  auto h = convex_hull_impl(pts, n);
+  if (static_cast<int32_t>(h.size()) > cap) return -1;
+  std::memcpy(out, h.data(), h.size() * sizeof(int32_t));
+  return static_cast<int32_t>(h.size());
+}
+
+// Ordered chi-shape outline indices. Returns count; -1 cap too small;
+// -2 degenerate input (caller should use convex hull).
+int32_t chi_concave_hull(const float* pts, int32_t n, double chi,
+                         int32_t* out, int32_t cap) {
+  if (n < 3) return -2;
+  return chi_hull_impl(pts, n, chi, out, cap);
+}
+
+// Connected components over an int32 edge list. labels[i] = min node id of
+// i's component. n_nodes labels written.
+void union_find_cc(const int32_t* edges_u, const int32_t* edges_v,
+                   int64_t n_edges, int32_t n_nodes, int32_t* labels) {
+  DSU dsu(n_nodes);
+  for (int64_t e = 0; e < n_edges; ++e) dsu.unite(edges_u[e], edges_v[e]);
+  for (int32_t i = 0; i < n_nodes; ++i) labels[i] = dsu.find(i);
+}
+
+// Exact Euclidean radius-graph connected components via voxel hashing.
+// pts: (n,3) float32. labels out: component id = min point index.
+// Returns number of components.
+int32_t radius_cc(const float* pts, int32_t n, float radius,
+                  int32_t* labels) {
+  if (n <= 0) return 0;
+  const double r = radius;
+  const double r2 = r * r;
+  const double inv_h = 1.0 / r;  // cell size == radius, 27-neighborhood
+  auto cell_of = [&](int32_t i, int64_t& cx, int64_t& cy, int64_t& cz) {
+    cx = static_cast<int64_t>(std::floor(pts[3 * i] * inv_h));
+    cy = static_cast<int64_t>(std::floor(pts[3 * i + 1] * inv_h));
+    cz = static_cast<int64_t>(std::floor(pts[3 * i + 2] * inv_h));
+  };
+  auto hkey = [](int64_t cx, int64_t cy, int64_t cz) {
+    return (static_cast<uint64_t>(cx) * 73856093ULL) ^
+           (static_cast<uint64_t>(cy) * 19349663ULL) ^
+           (static_cast<uint64_t>(cz) * 83492791ULL);
+  };
+  // bucket points by cell
+  std::unordered_map<uint64_t, std::vector<int32_t>> cells;
+  cells.reserve(n);
+  for (int32_t i = 0; i < n; ++i) {
+    int64_t cx, cy, cz;
+    cell_of(i, cx, cy, cz);
+    cells[hkey(cx, cy, cz)].push_back(i);
+  }
+  DSU dsu(n);
+  for (int32_t i = 0; i < n; ++i) {
+    int64_t cx, cy, cz;
+    cell_of(i, cx, cy, cz);
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          auto it = cells.find(hkey(cx + dx, cy + dy, cz + dz));
+          if (it == cells.end()) continue;
+          for (int32_t j : it->second) {
+            if (j >= i) continue;  // hash collisions are fine: extra checks
+            const double ddx = pts[3 * i] - pts[3 * j];
+            const double ddy = pts[3 * i + 1] - pts[3 * j + 1];
+            const double ddz = pts[3 * i + 2] - pts[3 * j + 2];
+            if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) dsu.unite(i, j);
+          }
+        }
+  }
+  int32_t n_comp = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    labels[i] = dsu.find(i);
+    if (labels[i] == i) ++n_comp;
+  }
+  return n_comp;
+}
+
+}  // extern "C"

@@ -1,0 +1,166 @@
+"""Cluster gathering and batched convex hulls on device.
+
+The reference extracts per-cluster outlines serially on the host: Andrew
+monotone chain for small clusters, chi-shape concave hull for large ones
+(ref: src/polygon_simplification.cpp:82-149). The TPU-first redesign:
+
+  * cluster gathering (the scatter loop at ref: src/processor.cpp:180-200)
+    becomes one sort-by-label + contiguous-range gather into a padded
+    (C, P, 2) batch;
+  * small-cluster convex hulls are computed for ALL clusters in one batched,
+    branch-free kernel: a point is a hull vertex iff it is a vertex of the
+    angular-sorted boundary with a strictly-convex corner — evaluated as a
+    dense O(P^2) edge test, which beats a serial monotone chain on TPU for
+    the small-P regime the live path needs (P <= 32 covers the reference's
+    '<20 points => convex' rule, ref: src/polygon_simplification.cpp:98);
+  * large-cluster hulls (convex Chan-equivalent and chi-shape concave) run in
+    the native host module (native/) over the gathered cluster batch — hulls
+    are the cheapest stage and inherently irregular (Delaunay); see
+    runtime/pipeline.py for the split.
+
+Conventions match the reference: CCW orientation, strictly convex vertices,
+hull indices ordered.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..types import PolygonBatch
+
+
+class ClusterBatch(NamedTuple):
+    """Padded per-cluster point batch gathered from a labeled cloud.
+
+    xy:       (C, P, 2) float32
+    xyz:      (C, P, 3) float32
+    counts:   (C,)      int32 — true points per cluster (may exceed P; then
+                               only the first P by point order are gathered)
+    num:      ()        int32 — number of clusters
+    overflow: ()        int32 — clusters truncated to P or beyond C slots
+    """
+
+    xy: jnp.ndarray
+    xyz: jnp.ndarray
+    counts: jnp.ndarray
+    num: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("max_clusters", "max_points"))
+def gather_clusters(
+    xyz: jnp.ndarray, labels: jnp.ndarray,
+    max_clusters: int, max_points: int
+) -> ClusterBatch:
+    """Gather points of each non-negative label into padded cluster slots.
+
+    xyz: (N,3); labels: (N,) int32 with compact ids 0..L-1 (negatives
+    ignored). Cluster slot c holds the points labeled c in point order.
+    """
+    n = xyz.shape[0]
+    valid = labels >= 0
+    key = jnp.where(valid, labels, jnp.int32(2**30))
+    order = jnp.argsort(key, stable=True)       # by label, ties by index
+    sl = key[order]
+    sp = xyz[order]
+
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), jnp.clip(key, 0, max_clusters - 1),
+        num_segments=max_clusters)
+    num = jnp.max(jnp.where(valid, labels, -1)) + 1
+    starts = jnp.searchsorted(
+        sl, jnp.arange(max_clusters, dtype=jnp.int32), method="sort"
+    ).astype(jnp.int32)
+
+    gather_idx = jnp.clip(
+        starts[:, None] + jnp.arange(max_points, dtype=jnp.int32)[None, :],
+        0, n - 1)
+    pts = sp[gather_idx]                        # (C, P, 3)
+    in_cluster = (jnp.arange(max_points, dtype=jnp.int32)[None, :]
+                  < jnp.minimum(counts, max_points)[:, None])
+    pts = jnp.where(in_cluster[..., None], pts, 0.0)
+
+    overflow = (jnp.sum((counts > max_points).astype(jnp.int32))
+                + (num > max_clusters).astype(jnp.int32))
+    return ClusterBatch(pts[..., :2], pts, counts, num, overflow)
+
+
+def _convex_hull_small_single(
+    xy: jnp.ndarray, count: jnp.ndarray, max_out: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Strictly-convex CCW hull of one padded point set (P <= ~64).
+
+    Dense O(P^2) formulation: for each point, test whether it is a strict
+    corner of the hull by checking that some half-plane through it contains
+    all other points strictly on one side. Implemented via the rotating
+    support test: p is a hull VERTEX iff p is strictly extremal in some
+    direction; equivalently p is NOT a vertex iff it lies in the convex hull
+    of the others. We use the robust pairwise formulation: vertex iff there
+    is an edge direction for which all points are on/left and p is an
+    endpoint — evaluated by the classic 'point-in-hull' LP dual is overkill;
+    instead we mark interior points via triple orientation tests against the
+    angular order around the centroid, then emit vertices in angular order.
+
+    Simpler exact route used here (matches Andrew chain for points in
+    general position, and strictly-convex semantics for collinear/duplicate
+    inputs): gift-wrapping with a fori_loop bounded by max_out steps — each
+    step is a vectorized argmin over P, so total work is O(max_out * P).
+    """
+    p = xy.shape[0]
+    idx = jnp.arange(p, dtype=jnp.int32)
+    alive = idx < count
+    big = jnp.float32(3.4e38)
+
+    # start: lowest (y, then x) point — guaranteed hull vertex
+    ykey = jnp.where(alive, xy[:, 1], big)
+    min_y = jnp.min(ykey)
+    cand = alive & (xy[:, 1] == min_y)
+    start = jnp.argmin(jnp.where(cand, xy[:, 0], big)).astype(jnp.int32)
+
+    def step(carry, _):
+        cur, done, emitted = carry
+        c = xy[cur]
+        d = xy - c
+        # next hull vertex: the point q such that all others are left of c->q
+        # gift wrap: pick q maximizing polar angle monotonic sweep == the one
+        # with all cross(d_q, d_k) <= 0 … select via pairwise orientation:
+        cross = d[:, None, 0] * d[None, :, 1] - d[:, None, 1] * d[None, :, 0]
+        # q is the next CCW hull point iff no alive k is strictly right of
+        # c->q, i.e. cross(q, k) < 0 for none, with farther-ties preferred
+        self_or_dead = (~alive) | (idx == cur)
+        bad = (cross < -1e-7 * (jnp.abs(cross) + 1e-30)) & (~self_or_dead[None, :])
+        strictly_right_none = ~jnp.any(bad & (~self_or_dead[:, None]), axis=1)
+        dist2 = jnp.sum(d * d, axis=1)
+        # among candidates, pick the farthest (skips collinear interiors)
+        score = jnp.where(strictly_right_none & (~self_or_dead), dist2, -1.0)
+        nxt = jnp.argmax(score).astype(jnp.int32)
+        has_next = score[nxt] > 0.0
+        out = jnp.where(done, -1, cur)  # emit current vertex, then advance
+        new_done = done | (~has_next) | (nxt == start)
+        return (jnp.where(has_next, nxt, cur), new_done, emitted + (out >= 0)), out
+
+    init = (start, count < 1, jnp.int32(0))
+    (_, _, n_emitted), verts = jax.lax.scan(step, init, None, length=max_out)
+    return verts, n_emitted
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def convex_hulls_batched(
+    xy: jnp.ndarray, counts: jnp.ndarray, max_out: int
+) -> PolygonBatch:
+    """CCW convex hulls for a batch of padded clusters.
+
+    xy: (C, P, 2); counts: (C,). Returns PolygonBatch with up to max_out
+    vertices per hull (indices resolved to coordinates).
+    """
+    verts_idx, n = jax.vmap(
+        lambda a, c: _convex_hull_small_single(a, c, max_out))(xy, counts)
+    coords = jnp.take_along_axis(
+        xy, jnp.clip(verts_idx, 0, xy.shape[1] - 1)[..., None], axis=1)
+    coords = jnp.where((verts_idx >= 0)[..., None], coords, 0.0)
+    return PolygonBatch(coords, n.astype(jnp.int32))

@@ -1,0 +1,74 @@
+"""Multi-device execution: mesh construction + sharded pipeline steps.
+
+The reference's only distribution is two OS processes joined by DDS pub/sub
+(ref: src/processor.cpp:93-100, src/dataloader.cpp:79-81, launch.sh:12-16).
+The TPU-native design replaces that with a device mesh:
+
+  * axis 'data'  — frames sharded across devices/hosts (the DP analogue of
+    the reference's frame pipelining; collectives ride DCN across hosts);
+  * axis 'space' — reserved for spatial grid-block sharding of very dense
+    clouds across chips with halo exchange (see parallel/spatial.py).
+
+`sharded_batch_step` runs the full per-frame device pipeline on each frame
+of a batch, frames laid out over the 'data' axis via shard_map. Per-frame
+work is independent (the reference processes frames independently too), so
+the only collective is the implicit layout; scaling efficiency is bounded by
+compilation, not communication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EngineConfig
+from ..runtime.pipeline import FrameResult, device_frame_step
+
+
+def make_mesh(n_devices: int | None = None,
+              axis_name: str = "data") -> Mesh:
+    """A 1-D mesh over the first n_devices (default: all).
+
+    Falls back to the virtual CPU backend when the default backend has too
+    few devices (the driver validates multi-chip sharding on a CPU mesh via
+    --xla_force_host_platform_device_count, see SURVEY.md §4).
+    """
+    devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        try:
+            devs = jax.devices("cpu")
+        except RuntimeError:
+            pass
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "config"))
+def _batch_step(mesh, xyzs, masks, config):
+    data_sharding = NamedSharding(mesh, P("data"))
+    xyzs = jax.lax.with_sharding_constraint(xyzs, data_sharding)
+    masks = jax.lax.with_sharding_constraint(masks, data_sharding)
+    step = jax.vmap(lambda x, m: device_frame_step(x, m, config))
+    return step(xyzs, masks)
+
+
+def sharded_batch_step(mesh: Mesh, xyzs, masks,
+                       config: EngineConfig) -> FrameResult:
+    """Run the per-frame pipeline over a frame batch sharded on 'data'.
+
+    xyzs: (B, N, 3) float32; masks: (B, N) bool; B must be divisible by the
+    mesh size. Returns a batched FrameResult with leading axis B.
+    """
+    b = xyzs.shape[0]
+    n_dev = mesh.devices.size
+    if b % n_dev != 0:
+        raise ValueError(f"batch {b} not divisible by mesh size {n_dev}")
+    with mesh:
+        return _batch_step(mesh, xyzs, masks, config)

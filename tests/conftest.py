@@ -1,21 +1,31 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Sharding/collective logic is exercised without a TPU pod via
-``--xla_force_host_platform_device_count`` (see SURVEY.md §4). Must be set
-before JAX initializes, hence the env mutation at import time.
+``--xla_force_host_platform_device_count`` (see SURVEY.md §4). The
+environment may pre-register an accelerator platform at interpreter start
+(sitecustomize), so we both set the env vars AND force the platform through
+jax.config before any backend initializes (backend init is lazy).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+assert len(jax.devices()) == 8, (
+    "tests require the 8-device virtual CPU mesh; got "
+    f"{jax.devices()} — was JAX initialized before conftest?")
 
 
 @pytest.fixture(scope="session")
