@@ -88,7 +88,7 @@ class PipelineConfig:
     max_hull_vertices: int = 512         # padded vertices per output polygon
     # Voxel-grid clustering capacities (checked at runtime; an overflow
     # counter is reported so tests can assert sufficiency on the dataset).
-    cell_capacity: int = 32          # points per cell in ambiguous-pair checks
+    cell_capacity: int = 64          # points per cell in ambiguous-pair checks
     max_cells: int = 32768           # occupied-cell slots (measured ~16k/frame)
     max_ambiguous_pairs: int = 131072  # ambiguous cell-pair slots (~56k/frame)
     replay_rate_hz: float = 10.0         # ref: src/dataloader.cpp:30

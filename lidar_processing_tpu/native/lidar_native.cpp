@@ -71,27 +71,39 @@ std::vector<int32_t> convex_hull_impl(const float* pts, int32_t n) {
 }
 
 // ---------------------------------------------------------------------------
-// Delaunay triangulation: Bowyer-Watson with walk-based point location.
-// Triangles store vertex indices (into the input) and neighbor triangle ids.
-// A super-triangle is added; its vertices get ids n..n+2.
+// Delaunay triangulation: Bowyer-Watson with a single ghost vertex at
+// infinity (Shewchuk-style) and walk-based point location. Triangles store
+// vertex indices and neighbor triangle ids; ghost triangles (one vertex ==
+// the ghost id `n`) tile the outside of the hull as a fan around the ghost.
+// The ghost-vertex formulation keeps all predicates exact: the circumcircle
+// of a ghost triangle (u, v, G) degenerates to the open half-plane left of
+// the directed edge u->v plus the open edge itself, so huge circumcircles of
+// thin hull triangles never interact with any artificial finite vertex.
 // ---------------------------------------------------------------------------
 struct Tri {
-  int32_t v[3];   // CCW vertices
+  int32_t v[3];   // CCW vertices (ghost triangles contain the ghost id)
   int32_t nb[3];  // nb[k] is the neighbor across edge (v[k], v[(k+1)%3])
   bool alive;
 };
 
 struct Delaunay {
-  std::vector<P2> p;        // n input points + 3 super vertices
+  std::vector<P2> p;        // n input points
   std::vector<Tri> tris;
-  int32_t n;                // number of real points
+  int32_t n;                // number of real points; ghost id == n
   bool ok = false;
+
+  inline bool is_ghost_v(int32_t v) const { return v == n; }
+  inline bool is_ghost_t(int32_t t) const {
+    const Tri& tr = tris[t];
+    return tr.v[0] == n || tr.v[1] == n || tr.v[2] == n;
+  }
 
   inline double orient(int32_t a, int32_t b, int32_t c) const {
     return cross(p[a], p[b], p[c]);
   }
 
-  // in-circumcircle test: positive if d inside circle through a,b,c (CCW)
+  // exact in-circumcircle: positive if d strictly inside circle through the
+  // CCW triangle (a,b,c)
   inline double incircle(int32_t a, int32_t b, int32_t c, int32_t d) const {
     const double adx = p[a].x - p[d].x, ady = p[a].y - p[d].y;
     const double bdx = p[b].x - p[d].x, bdy = p[b].y - p[d].y;
@@ -103,9 +115,28 @@ struct Delaunay {
            ad * (bdx * cdy - bdy * cdx);
   }
 
+  // circumcircle test with ghost handling; d is always a real point
+  bool in_circum(int32_t t, int32_t d) const {
+    const Tri& tr = tris[t];
+    int g = -1;
+    for (int k = 0; k < 3; ++k)
+      if (is_ghost_v(tr.v[k])) g = k;
+    if (g < 0)
+      return incircle(tr.v[0], tr.v[1], tr.v[2], d) > 0;
+    // ghost (.., u, v, G, ..): real directed edge follows the cycle order
+    const int32_t u = tr.v[(g + 1) % 3], v = tr.v[(g + 2) % 3];
+    const double o = orient(u, v, d);
+    if (o > 0) return true;
+    if (o < 0) return false;
+    // collinear: inside iff strictly within the open segment (u, v)
+    const double dot = (p[d].x - p[u].x) * (p[v].x - p[d].x) +
+                       (p[d].y - p[u].y) * (p[v].y - p[d].y);
+    return dot > 0;
+  }
+
   void build(const float* pts, int32_t count) {
     n = count;
-    p.resize(n + 3);
+    p.resize(n);
     double xmin = 1e300, xmax = -1e300, ymin = 1e300, ymax = -1e300;
     for (int32_t i = 0; i < n; ++i) {
       p[i] = {static_cast<double>(pts[2 * i]),
@@ -113,20 +144,12 @@ struct Delaunay {
       xmin = std::min(xmin, p[i].x); xmax = std::max(xmax, p[i].x);
       ymin = std::min(ymin, p[i].y); ymax = std::max(ymax, p[i].y);
     }
-    const double w = std::max({xmax - xmin, ymax - ymin, 1e-9});
-    const double cx = 0.5 * (xmin + xmax), cy = 0.5 * (ymin + ymax);
-    // big super-triangle
-    p[n]     = {cx - 20.0 * w, cy - 10.0 * w};
-    p[n + 1] = {cx + 20.0 * w, cy - 10.0 * w};
-    p[n + 2] = {cx,            cy + 20.0 * w};
-    tris.clear();
-    tris.push_back({{n, n + 1, n + 2}, {-1, -1, -1}, true});
+    const double w = std::max({xmax - xmin, ymax - ymin, 1e-12});
 
     // insertion order: Morton-ish spatial sort for walk locality
     std::vector<int32_t> order(n);
     for (int32_t i = 0; i < n; ++i) order[i] = i;
     std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
-      // interleave 16-bit grid coords
       auto key = [&](int32_t i) {
         uint64_t gx = static_cast<uint64_t>((p[i].x - xmin) / w * 65535.0);
         uint64_t gy = static_cast<uint64_t>((p[i].y - ymin) / w * 65535.0);
@@ -139,19 +162,47 @@ struct Delaunay {
       return key(a) < key(b);
     });
 
-    int32_t last = 0;  // walk start
-    std::vector<int32_t> bad, cavity_tri;
-    std::vector<char> in_cavity;
-    for (int32_t oi = 0; oi < n; ++oi) {
+    // seed: first two distinct points + first point not collinear with them
+    int32_t s0 = order[0], s1 = -1, s2 = -1;
+    size_t cursor = 1;
+    for (; cursor < order.size(); ++cursor) {
+      const int32_t c = order[cursor];
+      if (p[c].x != p[s0].x || p[c].y != p[s0].y) { s1 = c; ++cursor; break; }
+    }
+    if (s1 < 0) { ok = false; return; }
+    std::vector<char> used(n, 0);
+    used[s0] = used[s1] = 1;
+    double best = 0.0;
+    for (size_t j = cursor; j < order.size(); ++j) {
+      const int32_t c = order[j];
+      const double o = orient(s0, s1, c);
+      if (o != 0.0) { s2 = c; best = o; break; }
+    }
+    if (s2 < 0) { ok = false; return; }  // all collinear
+    used[s2] = 1;
+    if (best < 0) std::swap(s0, s1);     // make (s0,s1,s2) CCW
+    tris.clear();
+    // real triangle 0 + ghost fan 1..3
+    tris.push_back({{s0, s1, s2}, {3, 1, 2}, true});     // (s0,s1): ghost 3
+    tris.push_back({{s2, s1, n}, {0, 3, 2}, true});      // across (s1,s2)
+    tris.push_back({{s0, s2, n}, {0, 1, 3}, true});      // across (s2,s0)
+    tris.push_back({{s1, s0, n}, {0, 2, 1}, true});      // across (s0,s1)
+
+    std::vector<int32_t> bad;
+    std::vector<char> in_cavity(64, 0);
+    std::vector<int32_t> stack;
+    int32_t last = 0;
+    for (size_t oi = 0; oi < order.size(); ++oi) {
       const int32_t pi = order[oi];
-      // skip exact duplicates of already-inserted points (walk finds them)
+      if (used[pi]) continue;
       const int32_t t0 = locate(pi, last);
       if (t0 < 0) { ok = false; return; }
       // --- collect cavity: BFS over triangles whose circumcircle holds pi
       bad.clear();
-      if (static_cast<size_t>(tris.size()) > in_cavity.size())
+      stack.clear();
+      if (tris.size() > in_cavity.size())
         in_cavity.resize(tris.size() * 2, 0);
-      std::vector<int32_t> stack{t0};
+      stack.push_back(t0);
       in_cavity[t0] = 1;
       bool dup = false;
       while (!stack.empty() && !dup) {
@@ -159,45 +210,43 @@ struct Delaunay {
         stack.pop_back();
         bad.push_back(t);
         for (int k = 0; k < 3; ++k) {
-          // duplicate-point guard
-          if (p[tris[t].v[k]].x == p[pi].x && p[tris[t].v[k]].y == p[pi].y &&
-              tris[t].v[k] != pi) { dup = true; break; }
+          const int32_t vk = tris[t].v[k];
+          if (!is_ghost_v(vk) && p[vk].x == p[pi].x && p[vk].y == p[pi].y) {
+            dup = true;  // duplicate point: skip insertion
+            break;
+          }
           const int32_t nb = tris[t].nb[k];
-          if (nb >= 0 && !in_cavity[nb] &&
-              incircle(tris[nb].v[0], tris[nb].v[1], tris[nb].v[2], pi) > 0) {
+          if (nb >= 0 && !in_cavity[nb] && in_circum(nb, pi)) {
             in_cavity[nb] = 1;
             stack.push_back(nb);
           }
         }
       }
-      if (dup) {                      // duplicate: skip the point entirely
+      if (dup) {
         for (int32_t t : bad) in_cavity[t] = 0;
         for (int32_t t : stack) in_cavity[t] = 0;
         continue;
       }
-      // --- boundary edges of the cavity (edge of bad tri whose neighbor is
-      //     not in the cavity), kept with their outside neighbor
+      // --- cavity boundary edges, with their outside neighbors
       struct BEdge { int32_t a, b, outside; };
       std::vector<BEdge> bound;
-      for (int32_t t : bad) {
+      for (int32_t t : bad)
         for (int k = 0; k < 3; ++k) {
           const int32_t nb = tris[t].nb[k];
           if (nb < 0 || !in_cavity[nb])
             bound.push_back({tris[t].v[k], tris[t].v[(k + 1) % 3], nb});
         }
-      }
-      // --- retriangulate: one new triangle per boundary edge
+      // --- retriangulate: one new triangle (a, b, pi) per boundary edge;
+      //     reuse cavity slots, allocate the rest
       std::vector<int32_t> fresh(bound.size());
-      for (size_t e = 0; e < bound.size(); ++e) {
-        const int32_t id = (e < bad.size())
-                               ? bad[e]
-                               : (tris.push_back({}), (int32_t)tris.size() - 1);
-        fresh[e] = id;
-      }
-      if (static_cast<size_t>(tris.size()) > in_cavity.size())
+      for (size_t e = 0; e < bound.size(); ++e)
+        fresh[e] = (e < bad.size())
+                       ? bad[e]
+                       : (tris.push_back({}), (int32_t)tris.size() - 1);
+      if (tris.size() > in_cavity.size())
         in_cavity.resize(tris.size() * 2, 0);
-      // map from directed edge start vertex -> new tri (cavity boundary is a
-      // simple cycle; each vertex starts exactly one boundary edge)
+      // cavity boundary is a single cycle: each boundary vertex starts
+      // exactly one directed edge (the ghost can be such a vertex too)
       std::unordered_map<int32_t, int32_t> edge_start;
       edge_start.reserve(bound.size() * 2);
       for (size_t e = 0; e < bound.size(); ++e)
@@ -207,38 +256,43 @@ struct Delaunay {
         t.v[0] = bound[e].a; t.v[1] = bound[e].b; t.v[2] = pi;
         t.alive = true;
         t.nb[0] = bound[e].outside;
-        // fix the outside neighbor's back-pointer
         if (bound[e].outside >= 0) {
           Tri& o = tris[bound[e].outside];
           for (int k = 0; k < 3; ++k)
-            if ((o.v[k] == bound[e].b && o.v[(k + 1) % 3] == bound[e].a))
+            if (o.v[k] == bound[e].b && o.v[(k + 1) % 3] == bound[e].a)
               o.nb[k] = fresh[e];
         }
-        // neighbor across (b, pi) is the new tri starting at b;
-        // neighbor across (pi, a) is the new tri ENDING at a.
-        t.nb[1] = edge_start.count(bound[e].b) ? edge_start[bound[e].b] : -1;
+        auto it = edge_start.find(bound[e].b);
+        t.nb[1] = (it != edge_start.end()) ? it->second : -1;
       }
       for (size_t e = 0; e < bound.size(); ++e) {
-        Tri& t = tris[fresh[e]];
-        const int32_t nb1 = t.nb[1];
+        const int32_t nb1 = tris[fresh[e]].nb[1];
         if (nb1 >= 0) tris[nb1].nb[2] = fresh[e];
       }
       for (int32_t t : bad) in_cavity[t] = 0;
       last = fresh.empty() ? last : fresh[0];
+      used[pi] = 1;
     }
-    // drop triangles using super vertices
-    for (auto& t : tris)
-      if (t.alive && (t.v[0] >= n || t.v[1] >= n || t.v[2] >= n))
-        t.alive = false;
+    // drop ghost triangles
+    for (size_t t = 0; t < tris.size(); ++t)
+      if (tris[t].alive && is_ghost_t(static_cast<int32_t>(t)))
+        tris[t].alive = false;
     ok = true;
   }
 
-  // walk from triangle `start` toward point pi; returns containing triangle
+  // walk over REAL triangles toward pi; if the walk exits through a hull
+  // edge, the adjacent ghost triangle is the cavity seed (pi lies beyond
+  // that hull edge's line, hence inside the ghost's circumcircle limit).
   int32_t locate(int32_t pi, int32_t start) const {
     int32_t t = start;
-    if (t < 0 || !tris[t].alive) {
+    if (t < 0 || !tris[t].alive || is_ghost_t(t)) {
+      t = -1;
       for (size_t i = 0; i < tris.size(); ++i)
-        if (tris[i].alive) { t = static_cast<int32_t>(i); break; }
+        if (tris[i].alive && !is_ghost_t(static_cast<int32_t>(i))) {
+          t = static_cast<int32_t>(i);
+          break;
+        }
+      if (t < 0) return -1;
     }
     for (int64_t steps = 0;
          steps < static_cast<int64_t>(tris.size()) * 4 + 16; ++steps) {
@@ -246,13 +300,15 @@ struct Delaunay {
       int32_t next = -1;
       for (int k = 0; k < 3; ++k) {
         if (orient(tr.v[k], tr.v[(k + 1) % 3], pi) < 0) {
-          if (tr.nb[k] >= 0) { next = tr.nb[k]; break; }
+          next = tr.nb[k];
+          break;
         }
       }
-      if (next < 0) return t;
+      if (next < 0) return t;                 // containing real triangle
+      if (is_ghost_t(next)) return next;      // exited hull: ghost seed
       t = next;
     }
-    return -1;  // walk failed (degenerate input)
+    return -1;  // walk failed (should not happen with exact predicates)
   }
 };
 
@@ -420,6 +476,25 @@ int32_t chi_concave_hull(const float* pts, int32_t n, double chi,
                          int32_t* out, int32_t cap) {
   if (n < 3) return -2;
   return chi_hull_impl(pts, n, chi, out, cap);
+}
+
+// Delaunay triangle list (debug/test): returns triangle count, writes up to
+// cap triangles as index triples. -2 on degenerate input, -1 if cap small.
+int32_t delaunay_triangles(const float* pts, int32_t n, int32_t* out,
+                           int32_t cap) {
+  Delaunay dt;
+  dt.build(pts, n);
+  if (!dt.ok) return -2;
+  int32_t k = 0;
+  for (const auto& t : dt.tris) {
+    if (!t.alive) continue;
+    if (k >= cap) return -1;
+    out[3 * k] = t.v[0];
+    out[3 * k + 1] = t.v[1];
+    out[3 * k + 2] = t.v[2];
+    ++k;
+  }
+  return k;
 }
 
 // Connected components over an int32 edge list. labels[i] = min node id of

@@ -131,11 +131,16 @@ def _convex_hull_small_single(
         # with all cross(d_q, d_k) <= 0 … select via pairwise orientation:
         cross = d[:, None, 0] * d[None, :, 1] - d[:, None, 1] * d[None, :, 0]
         # q is the next CCW hull point iff no alive k is strictly right of
-        # c->q, i.e. cross(q, k) < 0 for none, with farther-ties preferred
+        # c->q, i.e. cross(q, k) < 0 for none, with farther-ties preferred.
+        # The tolerance must scale with |d_q||d_k|: XLA fuses the cross
+        # product with FMA, so collinear pairs produce O(eps*|dq||dk|) noise
+        # of either sign, and an unscaled "< 0" test misclassifies them.
         self_or_dead = (~alive) | (idx == cur)
-        bad = (cross < -1e-7 * (jnp.abs(cross) + 1e-30)) & (~self_or_dead[None, :])
-        strictly_right_none = ~jnp.any(bad & (~self_or_dead[:, None]), axis=1)
         dist2 = jnp.sum(d * d, axis=1)
+        tol = 1e-5 * jnp.sqrt(
+            jnp.maximum(dist2[:, None] * dist2[None, :], 1e-30))
+        bad = (cross < -tol) & (~self_or_dead[None, :])
+        strictly_right_none = ~jnp.any(bad & (~self_or_dead[:, None]), axis=1)
         # among candidates, pick the farthest (skips collinear interiors)
         score = jnp.where(strictly_right_none & (~self_or_dead), dist2, -1.0)
         nxt = jnp.argmax(score).astype(jnp.int32)

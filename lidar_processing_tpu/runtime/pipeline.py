@@ -82,6 +82,8 @@ def device_frame_step(
         present = jax.ops.segment_max(
             jnp.where(lbl >= 0, 1, 0), jnp.clip(lbl, 0, cap - 1),
             num_segments=cap)
+        # segment_max fills label-free slots with INT32_MIN, not 0
+        present = jnp.maximum(present, 0)
         new_id = jnp.cumsum(present) - 1
         return jnp.where(lbl >= 0, new_id[jnp.clip(lbl, 0, cap - 1)], -1), present
 
@@ -125,7 +127,12 @@ def run_frame(
     """Device step + host polygonization for one frame."""
     fr = device_frame_step(xyz_padded, mask, config)
     n = int(n_points) if n_points is not None else int(mask.sum())
+    return host_outputs(fr, config, n)
 
+
+def host_outputs(fr: FrameResult, config: EngineConfig,
+                 n: int) -> FrameOutputs:
+    """Host-side readout + polygonization of a device FrameResult."""
     seg_labels = np.asarray(fr.seg.labels)[:n]
     cl_labels = np.asarray(fr.clustering.labels)[:n]
 
