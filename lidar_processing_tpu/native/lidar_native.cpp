@@ -20,6 +20,7 @@
 //                       src/clustering.cpp:47-125).
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -557,6 +558,86 @@ int32_t radius_cc(const float* pts, int32_t n, float radius,
     if (labels[i] == i) ++n_comp;
   }
   return n_comp;
+}
+
+// Faithful serial FEC clustering (ref: src/clustering.cpp:47-125), matching
+// the Python oracle bit-for-bit: float64 arithmetic, voxel buckets of size
+// == radius, neighbors enumerated in ascending point index order, FIFO BFS,
+// duplicate-counting size filter. Used to run 154-frame golden diffs fast.
+// Returns the number of valid clusters; labels: 0..L-1, -1 INVALID,
+// INT32_MIN UNDEFINED (matches clustering.hpp:53-54 conventions).
+int32_t fec_cluster(const float* pts, int32_t n, double r2, double quality,
+                    uint32_t min_size, uint32_t max_size, int32_t* labels) {
+  const int32_t kUndefined = std::numeric_limits<int32_t>::min();
+  for (int32_t i = 0; i < n; ++i) labels[i] = kUndefined;
+  if (n <= 0) return 0;
+  const double radius = std::sqrt(r2);
+  const double inner = (1.0 - quality) * (1.0 - quality) * r2;
+
+  std::vector<double> px(n), py(n), pz(n);
+  std::vector<int64_t> cx(n), cy(n), cz(n);
+  for (int32_t i = 0; i < n; ++i) {
+    px[i] = pts[3 * i]; py[i] = pts[3 * i + 1]; pz[i] = pts[3 * i + 2];
+    cx[i] = static_cast<int64_t>(std::floor(px[i] / radius));
+    cy[i] = static_cast<int64_t>(std::floor(py[i] / radius));
+    cz[i] = static_cast<int64_t>(std::floor(pz[i] / radius));
+  }
+  struct CellHash {
+    size_t operator()(const std::array<int64_t, 3>& c) const {
+      return (static_cast<uint64_t>(c[0]) * 73856093ULL) ^
+             (static_cast<uint64_t>(c[1]) * 19349663ULL) ^
+             (static_cast<uint64_t>(c[2]) * 83492791ULL);
+    }
+  };
+  std::unordered_map<std::array<int64_t, 3>, std::vector<int32_t>, CellHash>
+      buckets;
+  buckets.reserve(n);
+  for (int32_t i = 0; i < n; ++i)
+    buckets[{cx[i], cy[i], cz[i]}].push_back(i);  // ascending by construction
+
+  std::vector<char> removed(n, 0);
+  std::vector<int32_t> cand, bfs, members;
+  cand.reserve(256);
+  int32_t label = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    if (removed[i]) continue;
+    bfs.clear();
+    bfs.push_back(i);
+    members.clear();
+    size_t head = 0;
+    while (head < bfs.size()) {
+      const int32_t j = bfs[head++];
+      if (removed[j]) continue;
+      // radius query, ascending index order (27 buckets merged + sorted)
+      cand.clear();
+      for (int64_t dx = -1; dx <= 1; ++dx)
+        for (int64_t dy = -1; dy <= 1; ++dy)
+          for (int64_t dz = -1; dz <= 1; ++dz) {
+            auto it = buckets.find({cx[j] + dx, cy[j] + dy, cz[j] + dz});
+            if (it == buckets.end()) continue;
+            cand.insert(cand.end(), it->second.begin(), it->second.end());
+          }
+      std::sort(cand.begin(), cand.end());
+      for (const int32_t k : cand) {
+        const double ddx = px[k] - px[j], ddy = py[k] - py[j],
+                     ddz = pz[k] - pz[j];
+        const double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+        if (d2 > r2 || removed[k]) continue;
+        labels[k] = label;
+        members.push_back(k);
+        if (d2 <= inner)
+          removed[k] = 1;
+        else
+          bfs.push_back(k);
+      }
+    }
+    if (members.size() < min_size || members.size() > max_size) {
+      for (const int32_t m : members) labels[m] = -1;  // INVALID
+    } else {
+      ++label;
+    }
+  }
+  return label;
 }
 
 }  // extern "C"

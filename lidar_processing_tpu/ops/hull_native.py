@@ -50,6 +50,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_float,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.fec_cluster.restype = ctypes.c_int32
+        lib.fec_cluster.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_double,
+            ctypes.c_double, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -101,6 +107,29 @@ def union_find_cc(edges_u: np.ndarray, edges_v: np.ndarray,
     mins = np.full(max(n_comp, 1), np.iinfo(np.int64).max, np.int64)
     np.minimum.at(mins, comp, np.arange(n_nodes))
     return mins[comp].astype(np.int32)
+
+
+def fec_cluster(points: np.ndarray, distance_squared: float,
+                cluster_quality: float, min_size: int,
+                max_size: int) -> np.ndarray | None:
+    """Native faithful serial FEC (ref: src/clustering.cpp:47-125).
+
+    Bit-identical to oracle.reference.fec_cluster; returns None when the
+    native module is unavailable (caller falls back to the Python oracle).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points[:, :3], np.float32)
+    n = pts.shape[0]
+    out = np.empty(n, np.int32)
+    lib.fec_cluster(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), np.int32(n),
+        ctypes.c_double(distance_squared), ctypes.c_double(cluster_quality),
+        ctypes.c_uint32(min_size),
+        ctypes.c_uint32(min(max_size, 2**32 - 1)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
 
 
 def radius_cc(points: np.ndarray, radius: float) -> np.ndarray:

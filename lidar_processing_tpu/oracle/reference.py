@@ -195,12 +195,21 @@ class _Grid:
         return idx[keep], d2[keep]
 
 
-def fec_cluster(xyz: np.ndarray, cfg: ClusteringConfig) -> np.ndarray:
+def fec_cluster(xyz: np.ndarray, cfg: ClusteringConfig,
+                allow_native: bool = True) -> np.ndarray:
     """Serial FEC clustering (ref: src/clustering.cpp:47-125).
 
     Returns (n,) int32 labels: clusters 0..L-1 in BFS seed order,
-    CLUSTER_INVALID for size-filtered clusters.
+    CLUSTER_INVALID for size-filtered clusters. Delegates to the native C++
+    implementation when built (bit-identical; see tests/test_native.py).
     """
+    if allow_native and xyz.shape[0]:
+        from ..ops import hull_native
+        native = hull_native.fec_cluster(
+            xyz, cfg.distance_squared, cfg.cluster_quality,
+            cfg.min_cluster_size, cfg.max_cluster_size)
+        if native is not None:
+            return native
     n = xyz.shape[0]
     labels = np.full(n, CLUSTER_UNDEFINED, np.int32)
     if n == 0:

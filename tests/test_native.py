@@ -80,6 +80,15 @@ class TestNativeGraph:
                 ref[i] = ref[ref[i]]
         assert np.array_equal(lbl, ref)
 
+    def test_fec_matches_python_oracle(self, rng):
+        from lidar_processing_tpu.config import ClusteringConfig
+        cfg = ClusteringConfig()
+        pts = rng.normal(0, 1.0, (3000, 3)).astype(np.float32)
+        nat = hn.fec_cluster(pts, cfg.distance_squared, cfg.cluster_quality,
+                             cfg.min_cluster_size, cfg.max_cluster_size)
+        py = orc.fec_cluster(pts, cfg, allow_native=False)
+        assert np.array_equal(nat, py)
+
     def test_radius_cc_vs_bruteforce(self, rng):
         n = 400
         pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
