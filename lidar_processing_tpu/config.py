@@ -91,8 +91,20 @@ class PipelineConfig:
     cell_capacity: int = 64          # points per cell in ambiguous-pair checks
     max_cells: int = 32768           # occupied-cell slots (measured ~16k/frame)
     max_ambiguous_pairs: int = 131072  # ambiguous cell-pair slots (~56k/frame)
+    # Stixel-clustering capacities (ops/stixel.py; measured KITTI values in
+    # parentheses — caps carry ~2x headroom and overflow counters).
+    max_obstacle_points: int = 98304   # compacted obstacle buffer (~50k)
+    max_columns: int = 16384           # occupied xy columns (~6.7k)
+    max_supernodes: int = 24576        # stixels (~7.5k)
+    max_column_pairs: int = 65536      # 12-offset column adjacencies (~29k)
+    max_sn_pairs: int = 65536          # supernode candidate pairs (~38k)
+    max_live_edges: int = 16384        # unresolved edges after CC round 1
     replay_rate_hz: float = 10.0         # ref: src/dataloader.cpp:30
     queue_depth: int = 2                 # DDS QoS keep-last depth (processor.cpp:69)
+    # Clustering backend: "stixel" (ops/stixel.py, sort/scan-based — the
+    # fast path) or "cellgraph" (ops/clustering.py, neighbor-table based —
+    # the original reference implementation, kept for cross-validation).
+    clustering_backend: str = "stixel"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,99 @@
+"""Segmented-scan primitives over sorted runs.
+
+On TPU, associative scans are dense log-depth ops (~0.1-0.4 ms at 131k)
+while random gathers cost ~8 ns/element, so run-aligned scans replace
+segment_min/segment_max scatters wherever the data is already sorted by
+segment. Segments are encoded by their sorted segment ids.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def seg_scan_min(values: jnp.ndarray, seg_ids: jnp.ndarray,
+                 reverse: bool = False) -> jnp.ndarray:
+    """Running min within each run of equal (sorted) seg_ids.
+
+    values: (N, ...) — scanned along axis 0, elementwise in trailing dims.
+    With reverse=True each element sees the min over the rest of its run, so
+    the value at a run START is the aggregate over the whole run.
+    """
+    ids = _bcast(seg_ids, values)
+    out, _ = jax.lax.associative_scan(_min_comb, (values, ids),
+                                      reverse=reverse)
+    return out
+
+
+def _min_comb(a, b):
+    av, aseg = a
+    bv, bseg = b
+    return (jnp.where(aseg == bseg, jnp.minimum(av, bv), bv), bseg)
+
+
+def _max_comb(a, b):
+    av, aseg = a
+    bv, bseg = b
+    return (jnp.where(aseg == bseg, jnp.maximum(av, bv), bv), bseg)
+
+
+def _keep_comb(a, b):
+    av, aseg = a
+    bv, bseg = b
+    return (jnp.where(aseg == bseg, av, bv), bseg)
+
+
+def seg_scan_max(values: jnp.ndarray, seg_ids: jnp.ndarray,
+                 reverse: bool = False) -> jnp.ndarray:
+    ids = _bcast(seg_ids, values)
+    out, _ = jax.lax.associative_scan(_max_comb, (values, ids),
+                                      reverse=reverse)
+    return out
+
+
+def seg_broadcast_first(values: jnp.ndarray,
+                        seg_ids: jnp.ndarray) -> jnp.ndarray:
+    """Propagate each run's FIRST value over the whole run."""
+    ids = _bcast(seg_ids, values)
+    out, _ = jax.lax.associative_scan(_keep_comb, (values, ids))
+    return out
+
+
+def _bcast(seg_ids, values):
+    if values.ndim > seg_ids.ndim:
+        return jnp.broadcast_to(
+            seg_ids[(...,) + (None,) * (values.ndim - seg_ids.ndim)],
+            values.shape)
+    return seg_ids
+
+
+def run_starts(new_run: jnp.ndarray, run_ids: jnp.ndarray,
+               num_runs: int) -> jnp.ndarray:
+    """Scatter each run's start position into a (num_runs,) table.
+
+    new_run: (N,) bool marking run starts; run_ids: (N,) int32 (== cumsum of
+    new_run - 1 for valid entries). Slots beyond the real run count hold N.
+    """
+    n = new_run.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    tgt = jnp.where(new_run, run_ids, num_runs)
+    return jnp.full((num_runs,), n, jnp.int32).at[tgt].set(pos, mode="drop")
+
+
+def compact_mask(mask: jnp.ndarray, capacity: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pack the indices where mask is True into a (capacity,) buffer.
+
+    Returns (indices, count, overflow). Overflowing entries are dropped.
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = jnp.sum(mask.astype(jnp.int32))
+    tgt = jnp.where(mask & (pos < capacity), pos, capacity)
+    idx = jnp.zeros((capacity,), jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    overflow = jnp.maximum(count - capacity, 0)
+    return idx, jnp.minimum(count, capacity), overflow

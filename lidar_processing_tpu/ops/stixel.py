@@ -1,0 +1,659 @@
+"""Exact Euclidean clustering via stixel-graph connected components.
+
+TPU-first replacement for the reference's KD-tree + BFS FEC
+(ref: src/clustering.cpp:47-125): identical contract to ops/clustering.py
+(exact CC of the d² <= distance_squared radius graph, labels canonicalized
+by minimum original point index) but built exclusively from the primitives
+this TPU executes well — one multi-operand sort, segmented scans over
+sorted runs, contiguous block gathers, batched block distance math, and a
+small contracted graph for label propagation. Measured cost model
+(microbench, TPU v5e): random gather ~8 ns/elem, contiguous block gather
+~1 ns/elem, 131k 5-operand sort 0.25 ms, scatter 0.2 ms, 49k segmented scan
+0.1 ms — hence the design:
+
+  1. ONE sort of all points by (xy-column, z-cell) linear key. Cells are
+     h = R/sqrt(3) cubes => every cell is a clique of the radius graph
+     (diagonal == R). Columns (xy cells) are contiguous point runs.
+  2. Intra-column structure from DENSE shifted comparisons of consecutive
+     cell runs: consecutive-occupied (i,i+1) and skip-one (i,i+2) cell pairs
+     with iz difference <= 2 are the only possible intra-column links
+     (a 2-cell z gap already exceeds R). Links are verified exactly by
+     batched block min-distance tests.
+  3. Columns contract into SUPERNODES (stixels): maximal runs of cells
+     chained by verified (i,i+1) links. Supernodes are contiguous point
+     runs; verified (i,i+2) links crossing a supernode boundary become
+     edges. ~16k cells contract to ~7k supernodes on KITTI frames.
+  4. Inter-column candidate pairs come from ONE small sort-merge: column
+     keys + 12 symmetric xy-offsets (the 5x5 window half), ~90k probe rows.
+     Matched column pairs expand to supernode pairs (8x8 static expansion
+     for the rare multi-supernode columns; <=8 supernodes/column holds
+     whenever <=15 occupied z-cells/column, checked by a counter).
+  5. Every candidate pair is classified with per-supernode AABB + first-
+     point data fetched as ONE coalesced row gather: AABB gap > R =>
+     impossible; first-point distance <= R => certain edge; else the pair
+     joins the tiered exact block tests (contiguous (P,cap,3) gathers,
+     batched min-d² on the VPU/MXU), so the edge set is exactly the
+     radius-graph connectivity between supernode point sets.
+  6. CC on the supernode graph: one full min-label round over all edges,
+     then compaction to the few LIVE edges (label[u] != label[v]) and a
+     bounded fixpoint loop with pointer-jumping compression between rounds.
+  7. Component stats (true point counts), size filter, canonical
+     renumbering by min original point index, and writeback through one
+     scatter — bit-identical labels to the radius_cc oracle.
+
+Per-frame capacities live in PipelineConfig; every cap violation increments
+the returned overflow counter (0 across the bundled dataset).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ClusteringConfig, PipelineConfig
+from ..types import CLUSTER_INVALID, CLUSTER_UNDEFINED, ClusteringResult
+from .scan_utils import (compact_mask, run_starts, seg_broadcast_first,
+                         seg_scan_max, seg_scan_min)
+
+_IMAX = jnp.int32(jnp.iinfo(jnp.int32).max)
+_F_BIG = jnp.float32(1.0e9)
+
+# grid dims: 2048 x 2048 xy columns, 128 z cells (covers 500 m x 500 m x
+# 31 m at the default radius — generous for any automotive LiDAR frame;
+# out-of-range coords raise overflow and stay unclustered)
+_GX = 2048
+_GY = 2048
+_GZ = 128
+
+# the symmetric half of the 5x5 xy neighborhood (24 offsets total)
+_XY_OFFSETS = [(0, 1), (0, 2), (1, -2), (1, -1), (1, 0), (1, 1), (1, 2),
+               (2, -2), (2, -1), (2, 0), (2, 1), (2, 2)]
+
+# exact-test tiers: (points-per-side cap, pair slots). Pairs with a side
+# larger than the top cap are split into 256-point sub-pair chunks inside
+# _tiered_exact (8x8 grid => sides up to 2048 points; beyond that the
+# overflow counter fires).
+_TIERS = ((32, 65536), (128, 6144), (256, 8192))
+_CHUNK = 256
+_CHUNK_GRID = 8
+_CHUNK_PAIRS = 1024   # compacted oversized-pair slots
+
+
+class _SortedPoints(NamedTuple):
+    xyz: jnp.ndarray      # (NO,3) f32 key-sorted obstacle points
+    key: jnp.ndarray      # (NO,) i32 cell key; IMAX padding
+    orig: jnp.ndarray     # (NO,) i32 original indices
+    n_obst: jnp.ndarray   # ()
+    overflow: jnp.ndarray
+
+
+def _sort_points(xyz, valid, pcfg: PipelineConfig, h: float) -> _SortedPoints:
+    n = xyz.shape[0]
+    no = pcfg.max_obstacle_points
+    inf3 = jnp.float32(3.4e38)
+    pmin = jnp.min(jnp.where(valid[:, None], xyz, inf3), axis=0)
+    pmin = jnp.where(jnp.isfinite(pmin), pmin, 0.0)
+    rel = jnp.floor((xyz - pmin) * jnp.float32(1.0 / h)).astype(jnp.int32)
+    lim = jnp.asarray([_GX, _GY, _GZ], jnp.int32)
+    coord_bad = valid & jnp.any((rel < 0) | (rel >= lim), axis=1)
+    rel = jnp.clip(rel, 0, lim - 1)
+    key = (rel[:, 0] * _GY + rel[:, 1]) * _GZ + rel[:, 2]
+    key = jnp.where(valid & ~coord_bad, key, _IMAX)
+
+    orig = jnp.arange(n, dtype=jnp.int32)
+    sk, sx, sy, sz, sorig = jax.lax.sort(
+        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], orig), num_keys=1)
+    n_obst = jnp.sum((key != _IMAX).astype(jnp.int32))
+    overflow = (jnp.sum(coord_bad.astype(jnp.int32))
+                + jnp.maximum(n_obst - no, 0))
+    sp = jnp.stack([sx[:no], sy[:no], sz[:no]], axis=1)
+    return _SortedPoints(sp, sk[:no], sorig[:no],
+                         jnp.minimum(n_obst, no), overflow)
+
+
+class _CellTable(NamedTuple):
+    start: jnp.ndarray     # (M,) first point index; NO for empty slots
+    end: jnp.ndarray       # (M,)
+    count: jnp.ndarray     # (M,)
+    iz: jnp.ndarray        # (M,)
+    col_id: jnp.ndarray    # (M,)
+    aabb: jnp.ndarray      # (M,6) minx..maxz
+    min_orig: jnp.ndarray  # (M,)
+    n_cells: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
+                 ) -> Tuple[_CellTable, jnp.ndarray, jnp.ndarray]:
+    """Cell/column run structure. Returns (cells, cell_id_per_point,
+    col_id_per_point)."""
+    no = sp.key.shape[0]
+    m = pcfg.max_cells
+    valid = sp.key != _IMAX
+    prev = jnp.concatenate([jnp.array([-1], jnp.int32), sp.key[:-1]])
+    new_cell = valid & (sp.key != prev)
+    cell_id = jnp.cumsum(new_cell.astype(jnp.int32)) - 1
+    n_cells = jnp.sum(new_cell.astype(jnp.int32))
+
+    colkey = sp.key // _GZ
+    prev_col = jnp.concatenate([jnp.array([-1], jnp.int32), colkey[:-1]])
+    new_col = valid & (colkey != prev_col)
+    col_id = jnp.cumsum(new_col.astype(jnp.int32)) - 1
+
+    # run aggregates via one reverse scan pack: min xyz / -max xyz / min orig
+    pack = jnp.concatenate(
+        [sp.xyz, -sp.xyz, sp.orig[:, None].astype(jnp.float32)], axis=1)
+    agg = seg_scan_min(pack, cell_id, reverse=True)   # value at run start
+
+    starts = run_starts(new_cell, cell_id, m)         # (M,)
+    slot_valid = jnp.arange(m, dtype=jnp.int32) < n_cells
+    start_c = jnp.clip(starts, 0, no - 1)
+    # end = start of the next cell (cells are consecutive in sorted order)
+    nxt = jnp.concatenate([starts[1:], jnp.array([no], jnp.int32)])
+    end = jnp.where(slot_valid, jnp.where(
+        jnp.arange(m, dtype=jnp.int32) == n_cells - 1, sp.n_obst, nxt), no)
+    start = jnp.where(slot_valid, starts, no)
+    count = jnp.maximum(end - start, 0)
+
+    cell_key = jnp.where(slot_valid, sp.key[start_c], _IMAX)
+    cell_col = jnp.where(slot_valid, col_id[start_c], _IMAX)
+    agg_c = agg[start_c]                              # (M,7) coalesced rows
+    aabb = jnp.concatenate([agg_c[:, 0:3], -agg_c[:, 3:6]], axis=1)
+    min_orig = jnp.where(slot_valid, agg_c[:, 6].astype(jnp.int32), _IMAX)
+    overflow = jnp.maximum(n_cells - m, 0)
+    tbl = _CellTable(start, end, count, cell_key % _GZ, cell_col, aabb,
+                     min_orig, jnp.minimum(n_cells, m), overflow)
+    return tbl, cell_id, col_id
+
+
+def _block_min_d2(sp_xyz, u_start, u_count, v_start, v_count, cap: int):
+    """Exact min pairwise d² between contiguous point runs (batched).
+
+    All inputs (P,) int32; returns (P,) f32 min over the first `cap` points
+    of each side (counts beyond cap must be handled by the caller's tier
+    selection / overflow accounting). For large caps the v side is chunked
+    so the (P, cap, chunk) distance block stays bounded.
+    """
+    no = sp_xyz.shape[0]
+    ar = jnp.arange(cap, dtype=jnp.int32)
+
+    def block(starts, counts, fill, width, offset=0):
+        aw = jnp.arange(width, dtype=jnp.int32) + offset
+        idx = jnp.clip(starts[:, None] + aw[None, :], 0, no - 1)
+        pts = sp_xyz[idx]                                   # (P,width,3)
+        ok = aw[None, :] < jnp.minimum(counts, cap)[:, None]
+        return jnp.where(ok[..., None], pts, fill)
+
+    pu = block(u_start, u_count, _F_BIG, cap)
+    chunk = min(cap, 128)
+    best = jnp.full((u_start.shape[0],), 3.4e38, jnp.float32)
+    for off in range(0, cap, chunk):
+        pv = block(v_start, v_count, -_F_BIG, chunk, off)
+        d = pu[:, :, None, :] - pv[:, None, :, :]
+        d2 = jnp.sum(d * d, axis=-1)                        # (P,cap,chunk)
+        best = jnp.minimum(best, jnp.min(d2, axis=(1, 2)))
+    return best
+
+
+class _PairTest(NamedTuple):
+    """Candidate pair records awaiting exact point-level tests."""
+
+    u_start: jnp.ndarray
+    u_count: jnp.ndarray
+    v_start: jnp.ndarray
+    v_count: jnp.ndarray
+    slot: jnp.ndarray      # destination index in the result array
+    active: jnp.ndarray    # bool
+
+
+def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run tiered block tests; scatter edge verdicts into (n_results,) bool.
+
+    Oversized pairs (a side beyond the top tier cap) are split into
+    _CHUNK-point sub-pair chunks whose verdicts OR into the original slot;
+    sides beyond _CHUNK * _CHUNK_GRID points are counted in the returned
+    overflow (verdict False — conservative, flagged).
+    """
+    maxc0 = jnp.maximum(pt.u_count, pt.v_count)
+    big = pt.active & (maxc0 > _CHUNK)
+    bidx, n_big, ovf_b = compact_mask(big, _CHUNK_PAIRS)
+    bmask = jnp.arange(_CHUNK_PAIRS, dtype=jnp.int32) < n_big
+    gch = jnp.arange(_CHUNK_GRID, dtype=jnp.int32) * _CHUNK
+    shp = (_CHUNK_PAIRS, _CHUNK_GRID, _CHUNK_GRID)
+
+    def grid(vals, axis):
+        e = vals[:, None, :] if axis else vals[:, :, None]
+        return jnp.broadcast_to(e, shp).reshape(-1)
+
+    ch_uc2 = jnp.clip(pt.u_count[bidx][:, None] - gch[None, :], 0, _CHUNK)
+    ch_vc2 = jnp.clip(pt.v_count[bidx][:, None] - gch[None, :], 0, _CHUNK)
+    ch = _PairTest(
+        u_start=grid(pt.u_start[bidx][:, None] + gch[None, :], 0),
+        u_count=grid(ch_uc2, 0),
+        v_start=grid(pt.v_start[bidx][:, None] + gch[None, :], 1),
+        v_count=grid(ch_vc2, 1),
+        slot=grid(jnp.broadcast_to(pt.slot[bidx][:, None], ch_uc2.shape), 0),
+        active=(grid(jnp.broadcast_to(bmask[:, None], ch_uc2.shape), 0)
+                & (grid(ch_uc2, 0) > 0) & (grid(ch_vc2, 1) > 0)))
+    pt = _PairTest(
+        u_start=jnp.concatenate([pt.u_start, ch.u_start]),
+        u_count=jnp.concatenate([jnp.where(big, 0, pt.u_count), ch.u_count]),
+        v_start=jnp.concatenate([pt.v_start, ch.v_start]),
+        v_count=jnp.concatenate([jnp.where(big, 0, pt.v_count), ch.v_count]),
+        slot=jnp.concatenate([pt.slot, ch.slot]),
+        active=jnp.concatenate([pt.active & ~big, ch.active]))
+
+    maxc = jnp.maximum(pt.u_count, pt.v_count)
+    out = jnp.zeros((n_results,), bool)
+    overflow = ovf_b + jnp.sum(
+        (big & (maxc0 > _CHUNK * _CHUNK_GRID)).astype(jnp.int32))
+    lo = 0
+    for cap, slots in _TIERS:
+        in_tier = pt.active & (maxc > lo) & (maxc <= cap)
+        idx, cnt, ovf = compact_mask(in_tier, slots)
+        overflow = overflow + ovf
+        tier_active = jnp.arange(slots, dtype=jnp.int32) < cnt
+        us = jnp.where(tier_active, pt.u_start[idx], 0)
+        uc = jnp.where(tier_active, pt.u_count[idx], 0)
+        vs = jnp.where(tier_active, pt.v_start[idx], 0)
+        vc = jnp.where(tier_active, pt.v_count[idx], 0)
+        mind2 = _block_min_d2(sp_xyz, us, uc, vs, vc, cap)
+        verdict = tier_active & (mind2 <= r2)
+        tgt = jnp.where(verdict, pt.slot[idx], n_results)
+        out = out.at[tgt].set(True, mode="drop")
+        lo = cap
+    top_cap = _TIERS[-1][0]
+    overflow = overflow + jnp.sum((pt.active & (maxc > top_cap))
+                                  .astype(jnp.int32))
+    return out, overflow
+
+
+class _SnTable(NamedTuple):
+    start: jnp.ndarray     # (S,) first point index
+    count: jnp.ndarray     # (S,) point count
+    aabb: jnp.ndarray      # (S,6)
+    rep: jnp.ndarray       # (S,3) first point
+    min_orig: jnp.ndarray  # (S,)
+    first_cell: jnp.ndarray  # (S,) first cell id
+    n_sn: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def _build_supernodes(sp, cells: _CellTable, link1: jnp.ndarray,
+                      pcfg: PipelineConfig
+                      ) -> Tuple[_SnTable, jnp.ndarray]:
+    """Contract link1-chained cells into supernodes.
+
+    link1: (M,) bool — verified connection between cell i and cell i+1.
+    Returns (table, sn_id_per_cell).
+    """
+    m = cells.start.shape[0]
+    s = pcfg.max_supernodes
+    no = sp.key.shape[0]
+    slot_valid = jnp.arange(m, dtype=jnp.int32) < cells.n_cells
+    prev_link = jnp.concatenate([jnp.array([False]), link1[:-1]])
+    new_sn = slot_valid & ~prev_link
+    new_sn = new_sn.at[0].set(slot_valid[0])
+    sn_of_cell = jnp.cumsum(new_sn.astype(jnp.int32)) - 1
+    n_sn = jnp.sum(new_sn.astype(jnp.int32))
+
+    # per-supernode aggregates via reverse scan over the CELL table
+    pack = jnp.concatenate(
+        [cells.aabb[:, 0:3], -cells.aabb[:, 3:6],
+         cells.min_orig[:, None].astype(jnp.float32),
+         ], axis=1)
+    pack = jnp.where(slot_valid[:, None], pack, _F_BIG)
+    agg = seg_scan_min(pack, sn_of_cell, reverse=True)
+
+    first_cell = run_starts(new_sn, sn_of_cell, s)        # (S,) cell ids
+    sn_valid = jnp.arange(s, dtype=jnp.int32) < n_sn
+    fc = jnp.clip(first_cell, 0, m - 1)
+    nxt_first = jnp.concatenate([first_cell[1:], jnp.array([m], jnp.int32)])
+    last_cell = jnp.where(
+        jnp.arange(s, dtype=jnp.int32) == n_sn - 1, cells.n_cells, nxt_first
+    ) - 1
+    lc = jnp.clip(last_cell, 0, m - 1)
+
+    start = jnp.where(sn_valid, cells.start[fc], no)
+    end = jnp.where(sn_valid, cells.end[lc], no)
+    count = jnp.maximum(end - start, 0)
+    agg_s = agg[fc]
+    aabb = jnp.concatenate([agg_s[:, 0:3], -agg_s[:, 3:6]], axis=1)
+    min_orig = jnp.where(sn_valid, agg_s[:, 6].astype(jnp.int32), _IMAX)
+    rep = sp.xyz[jnp.clip(start, 0, no - 1)]
+    overflow = jnp.maximum(n_sn - s, 0)
+    tbl = _SnTable(start, count, aabb, rep, min_orig, first_cell,
+                   jnp.minimum(n_sn, s), overflow)
+    return tbl, sn_of_cell
+
+
+def _column_pairs(col_key, n_cols, pcfg: PipelineConfig):
+    """Sort-merge the 12-offset probes against occupied column keys.
+
+    Returns (u_col_slot, v_col_slot, n_pairs, overflow): pairs of COLUMN
+    table slots whose xy cells are 5x5-window neighbors.
+    """
+    c = col_key.shape[0]                                   # column capacity
+    cp = pcfg.max_column_pairs
+    col_valid = jnp.arange(c, dtype=jnp.int32) < n_cols
+    ix = col_key // _GY
+    iy = col_key % _GY
+
+    probe_keys = []
+    probe_src = []
+    for dx, dy in _XY_OFFSETS:
+        nx2, ny2 = ix + dx, iy + dy
+        ok = col_valid & (nx2 >= 0) & (nx2 < _GX) & (ny2 >= 0) & (ny2 < _GY)
+        probe_keys.append(jnp.where(ok, nx2 * _GY + ny2, _IMAX))
+        probe_src.append(jnp.arange(c, dtype=jnp.int32))
+    pk = jnp.concatenate(probe_keys)
+    psrc = jnp.concatenate(probe_src)
+    # host rows: (key, tag=-slot-1 < 0); probe rows: (key, src_slot >= 0)
+    keys = jnp.concatenate([jnp.where(col_valid, col_key, _IMAX), pk])
+    tags = jnp.concatenate([-jnp.arange(c, dtype=jnp.int32) - 1, psrc])
+    sk2, st2 = jax.lax.sort((keys, tags), num_keys=2)  # hosts before probes
+    # broadcast each host's slot over its equal-key run
+    host_slot = jnp.where(st2 < 0, -st2 - 1, _IMAX)
+    run_new = jnp.concatenate(
+        [jnp.array([True]), sk2[1:] != sk2[:-1]])
+    run_id = jnp.cumsum(run_new.astype(jnp.int32)) - 1
+    host_bcast = seg_broadcast_first(host_slot, run_id)
+    hit = (st2 >= 0) & (host_bcast != _IMAX) & (sk2 != _IMAX)
+
+    idx, n_pairs, ovf = compact_mask(hit, cp)
+    u_col = jnp.where(jnp.arange(cp) < n_pairs, st2[idx], 0)
+    v_col = jnp.where(jnp.arange(cp) < n_pairs, host_bcast[idx], 0)
+    return u_col, v_col, n_pairs, ovf
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pcfg"))
+def cluster(xyz: jnp.ndarray, valid: jnp.ndarray,
+            cfg: ClusteringConfig, pcfg: PipelineConfig) -> ClusteringResult:
+    """Cluster valid points of a padded cloud (see module docstring).
+
+    Drop-in replacement for ops.clustering.cluster with identical outputs.
+    """
+    result, _ = _cluster_impl(xyz, valid, cfg, pcfg)
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pcfg"))
+def cluster_debug(xyz, valid, cfg, pcfg):
+    """cluster() plus a dict of internal arrays (tests/debugging only)."""
+    return _cluster_impl(xyz, valid, cfg, pcfg)
+
+
+def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
+                  cfg: ClusteringConfig, pcfg: PipelineConfig):
+    n = xyz.shape[0]
+    r2 = cfg.distance_squared
+    h = math.sqrt(r2 / 3.0)
+    m = pcfg.max_cells
+    s_cap = pcfg.max_supernodes
+    no = pcfg.max_obstacle_points
+
+    sp = _sort_points(xyz, valid, pcfg, h)
+    cells, cell_id_pt, col_id_pt = _build_cells(sp, pcfg)
+    overflow = sp.overflow + cells.overflow
+
+    # ---- intra-column candidate links (dense shifted comparisons) --------
+    slot_valid = jnp.arange(m, dtype=jnp.int32) < cells.n_cells
+
+    cand = {}
+    for k in (1, 2):
+        nb_valid = jnp.concatenate(
+            [slot_valid[k:], jnp.zeros((k,), bool)])
+        same_col = cells.col_id == jnp.concatenate(
+            [cells.col_id[k:], jnp.full((k,), _IMAX)])
+        diz = jnp.concatenate(
+            [cells.iz[k:], jnp.zeros((k,), jnp.int32)]) - cells.iz
+        cand[k] = slot_valid & nb_valid & same_col & (diz >= 1) & (diz <= 2)
+
+    # AABB gap / first-point prefilters for the two shift patterns
+    def pair_classify(u_aabb, v_aabb, u_rep, v_rep):
+        gap = jnp.maximum(
+            0.0, jnp.maximum(u_aabb[:, 0:3] - v_aabb[:, 3:6],
+                             v_aabb[:, 0:3] - u_aabb[:, 3:6]))
+        impossible = jnp.sum(gap * gap, axis=1) > r2
+        dr = u_rep - v_rep
+        certain = jnp.sum(dr * dr, axis=1) <= r2
+        return impossible, certain
+
+    cell_rep = sp.xyz[jnp.clip(cells.start, 0, no - 1)]
+    intra_link = {}
+    intra_tests = []
+    for k in (1, 2):
+        v_aabb = jnp.roll(cells.aabb, -k, axis=0)
+        v_rep = jnp.roll(cell_rep, -k, axis=0)
+        impossible, certain = pair_classify(cells.aabb, v_aabb,
+                                            cell_rep, v_rep)
+        intra_link[k] = cand[k] & ~impossible & certain
+        intra_tests.append(cand[k] & ~impossible & ~certain)
+
+    # ---- inter-column pairs ---------------------------------------------
+    # column table: first supernode + supernode count per column (built
+    # after supernodes; but supernodes need link1 which needs the intra
+    # tests — run ALL exact tests in one tiered batch first)
+    # Assemble the unified ambiguous-pair test list:
+    #   results layout: [0, M) link1 candidates, [M, 2M) link2 candidates,
+    #   [2M, 2M + SNP) supernode pairs (filled below after supernode build
+    #   in a SECOND tiered batch — supernode sizes depend on link1).
+    pt_u_start, pt_u_cnt, pt_v_start, pt_v_cnt, pt_slot, pt_act = \
+        [], [], [], [], [], []
+    for j, k in enumerate((1, 2)):
+        pt_u_start.append(cells.start)
+        pt_u_cnt.append(cells.count)
+        pt_v_start.append(jnp.roll(cells.start, -k))
+        pt_v_cnt.append(jnp.roll(cells.count, -k))
+        pt_slot.append(jnp.arange(m, dtype=jnp.int32) + j * m)
+        pt_act.append(intra_tests[j])
+    pt = _PairTest(*(jnp.concatenate(x) for x in
+                     (pt_u_start, pt_u_cnt, pt_v_start, pt_v_cnt,
+                      pt_slot, pt_act)))
+    intra_verdict, ovf_t = _tiered_exact(sp.xyz, pt, r2, 2 * m)
+    overflow = overflow + ovf_t
+
+    link1 = intra_link[1] | intra_verdict[:m]
+    link2 = intra_link[2] | intra_verdict[m:2 * m]
+
+    # ---- supernodes ------------------------------------------------------
+    sn, sn_of_cell = _build_supernodes(sp, cells, link1, pcfg)
+    overflow = overflow + sn.overflow
+
+    # link2 edges crossing a supernode boundary
+    sn_p2 = jnp.roll(sn_of_cell, -2)
+    link2_edge = link2 & (sn_p2 != sn_of_cell)
+    e2_u = jnp.where(link2_edge, sn_of_cell, 0)
+    e2_v = jnp.where(link2_edge, sn_p2, 0)
+
+    # ---- column table + pair generation ---------------------------------
+    c_cap = pcfg.max_columns
+    # per-cell column table info: columns are runs in the CELL table
+    prev_col_c = jnp.concatenate([jnp.array([-1], jnp.int32),
+                                  cells.col_id[:-1]])
+    new_col_c = slot_valid & (cells.col_id != prev_col_c)
+    col_idx_of_cell = jnp.cumsum(new_col_c.astype(jnp.int32)) - 1
+    n_cols = jnp.sum(new_col_c.astype(jnp.int32))
+    col_first_cell = run_starts(new_col_c, col_idx_of_cell, c_cap)
+    col_valid = jnp.arange(c_cap, dtype=jnp.int32) < n_cols
+    cfc = jnp.clip(col_first_cell, 0, m - 1)
+    # column key from the cell's stored col_id? col_id is the per-point
+    # column rank, not the key — recover the xy key from the first cell
+    cell_key_full = jnp.where(slot_valid,
+                              sp.key[jnp.clip(cells.start, 0, no - 1)], _IMAX)
+    col_key = jnp.where(col_valid, cell_key_full[cfc] // _GZ, _IMAX)
+    col_first_sn = jnp.where(col_valid, sn_of_cell[cfc], 0)
+    nxt_col_first = jnp.concatenate([col_first_cell[1:],
+                                     jnp.array([m], jnp.int32)])
+    col_last_cell = jnp.where(
+        jnp.arange(c_cap, dtype=jnp.int32) == n_cols - 1, cells.n_cells,
+        nxt_col_first) - 1
+    col_last_sn = jnp.where(col_valid,
+                            sn_of_cell[jnp.clip(col_last_cell, 0, m - 1)], -1)
+    col_sn_count = jnp.where(col_valid, col_last_sn - col_first_sn + 1, 0)
+    overflow = overflow + jnp.maximum(n_cols - c_cap, 0)
+    overflow = overflow + jnp.sum((col_sn_count > 8).astype(jnp.int32))
+
+    u_col, v_col, n_cpairs, ovf_cp = _column_pairs(col_key, n_cols, pcfg)
+    overflow = overflow + ovf_cp
+
+    # ---- expand column pairs to supernode pairs -------------------------
+    cp = pcfg.max_column_pairs
+    snp = pcfg.max_sn_pairs
+    cp_valid = jnp.arange(cp, dtype=jnp.int32) < n_cpairs
+    uA = col_first_sn[u_col]
+    cA = jnp.where(cp_valid, col_sn_count[u_col], 0)
+    uB = col_first_sn[v_col]
+    cB = jnp.where(cp_valid, col_sn_count[v_col], 0)
+    # primary slot: first supernode of each column
+    prim_u, prim_v = uA, uB
+    prim_ok = cp_valid & (cA >= 1) & (cB >= 1)
+
+    def expand(sel_mask, cap, width):
+        """(cap, width, width) expansion grid over the compacted subset."""
+        midx, n_multi, ovf = compact_mask(sel_mask, cap)
+        ma = jnp.arange(cap, dtype=jnp.int32) < n_multi
+        muA, mcA = uA[midx], jnp.where(ma, cA[midx], 0)
+        muB, mcB = uB[midx], jnp.where(ma, cB[midx], 0)
+        g = jnp.arange(width, dtype=jnp.int32)
+        shp = (cap, width, width)
+        eu = jnp.broadcast_to(muA[:, None, None] + g[None, :, None],
+                              shp).reshape(-1)
+        ev = jnp.broadcast_to(muB[:, None, None] + g[None, None, :],
+                              shp).reshape(-1)
+        eok = ((g[None, :, None] < jnp.minimum(mcA, width)[:, None, None])
+               & (g[None, None, :] < jnp.minimum(mcB, width)[:, None, None])
+               & ((g[None, :, None] > 0) | (g[None, None, :] > 0))
+               ).reshape(-1)
+        return eu, ev, eok, ovf
+
+    # three-level multi-supernode expansion, sized for measured KITTI
+    # loads (~7k 2-supernode pairs, ~2k deeper, a handful past 4)
+    mx = jnp.maximum(cA, cB)
+    e1u, e1v, e1ok, ovf1 = expand(cp_valid & (mx == 2), 16384, 2)
+    e2u, e2v, e2ok, ovf2 = expand(cp_valid & (mx > 2) & (mx <= 4), 4096, 4)
+    e3u, e3v, e3ok, ovf3 = expand(cp_valid & (mx > 4), 512, 8)
+    overflow = overflow + ovf1 + ovf2 + ovf3
+    # assemble supernode pair list: primaries first, then expansions
+    all_u = jnp.concatenate([prim_u, e1u, e2u, e3u])
+    all_v = jnp.concatenate([prim_v, e1v, e2v, e3v])
+    all_ok = jnp.concatenate([prim_ok, e1ok, e2ok, e3ok])
+    pidx, n_snp, ovf_p = compact_mask(all_ok, snp)
+    overflow = overflow + ovf_p
+    snp_valid = jnp.arange(snp, dtype=jnp.int32) < n_snp
+    pu = jnp.where(snp_valid, all_u[pidx], 0)
+    pv = jnp.where(snp_valid, all_v[pidx], 0)
+
+    # ---- classify supernode pairs ---------------------------------------
+    # one coalesced row gather per side: [aabb(6), rep(3), start, count]
+    sn_rows = jnp.concatenate(
+        [sn.aabb, sn.rep,
+         sn.start[:, None].astype(jnp.float32),
+         sn.count[:, None].astype(jnp.float32)], axis=1)   # (S,11)
+    ru = sn_rows[pu]
+    rv = sn_rows[pv]
+    gap = jnp.maximum(0.0, jnp.maximum(ru[:, 0:3] - rv[:, 3:6],
+                                       rv[:, 0:3] - ru[:, 3:6]))
+    impossible = jnp.sum(gap * gap, axis=1) > r2
+    dr = ru[:, 6:9] - rv[:, 6:9]
+    certain = jnp.sum(dr * dr, axis=1) <= r2
+    ambiguous = snp_valid & ~impossible & ~certain
+    pair_certain = snp_valid & ~impossible & certain
+
+    pt2 = _PairTest(
+        u_start=ru[:, 9].astype(jnp.int32),
+        u_count=ru[:, 10].astype(jnp.int32),
+        v_start=rv[:, 9].astype(jnp.int32),
+        v_count=rv[:, 10].astype(jnp.int32),
+        slot=jnp.arange(snp, dtype=jnp.int32), active=ambiguous)
+    snp_verdict, ovf_t2 = _tiered_exact(sp.xyz, pt2, r2, snp)
+    overflow = overflow + ovf_t2
+    snp_edge = pair_certain | snp_verdict
+
+    # ---- edge list -------------------------------------------------------
+    e_u = jnp.concatenate([jnp.where(snp_edge, pu, 0), e2_u])
+    e_v = jnp.concatenate([jnp.where(snp_edge, pv, 0), e2_v])
+    e_ok = jnp.concatenate([snp_edge, link2_edge])
+    e_u = jnp.where(e_ok, e_u, 0)
+    e_v = jnp.where(e_ok, e_v, 0)
+
+    # ---- connected components on the supernode graph --------------------
+    sn_valid_mask = jnp.arange(s_cap, dtype=jnp.int32) < sn.n_sn
+    labels = jnp.arange(s_cap, dtype=jnp.int32)
+
+    def compress(l, rounds=4):
+        for _ in range(rounds):
+            l = l[l]
+        return l
+
+    def hook(l, u, v, ok):
+        lu = l[u]
+        lv = l[v]
+        mn = jnp.where(ok, jnp.minimum(lu, lv), _IMAX)
+        l = l.at[jnp.where(ok, lu, s_cap)].min(mn, mode="drop")
+        l = l.at[jnp.where(ok, lv, s_cap)].min(mn, mode="drop")
+        return compress(l)
+
+    # round 1 over the full edge list
+    labels = hook(labels, e_u, e_v, e_ok)
+    # compact LIVE edges (endpoints still in different components)
+    live = e_ok & (labels[e_u] != labels[e_v])
+    lidx, n_live, ovf_l = compact_mask(live, pcfg.max_live_edges)
+    lmask = jnp.arange(pcfg.max_live_edges, dtype=jnp.int32) < n_live
+    lu_e = jnp.where(lmask, e_u[lidx], 0)
+    lv_e = jnp.where(lmask, e_v[lidx], 0)
+    overflow = overflow + ovf_l
+
+    def cond(state):
+        l, changed, it = state
+        return changed & (it < 32)
+
+    def body(state):
+        l, _, it = state
+        l2 = hook(l, lu_e, lv_e, lmask)
+        return l2, jnp.any(l2 != l), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
+    labels = compress(labels, rounds=2)
+
+    # ---- stats, size filter, canonical numbering ------------------------
+    comp_size = jnp.zeros((s_cap,), jnp.int32).at[
+        jnp.where(sn_valid_mask, labels, s_cap)].add(
+            jnp.where(sn_valid_mask, sn.count, 0), mode="drop")
+    comp_min = jnp.full((s_cap,), _IMAX, jnp.int32).at[
+        jnp.where(sn_valid_mask, labels, s_cap)].min(
+            sn.min_orig, mode="drop")
+    is_root = sn_valid_mask & (labels == jnp.arange(s_cap, dtype=jnp.int32))
+    max_sz = min(cfg.max_cluster_size, 2**31 - 1)
+    comp_valid = (is_root & (comp_size >= cfg.min_cluster_size)
+                  & (comp_size <= max_sz))
+
+    rank_key = jnp.where(comp_valid, comp_min, _IMAX)
+    rorder = jnp.argsort(rank_key)
+    ranks = jnp.zeros((s_cap,), jnp.int32).at[rorder].set(
+        jnp.arange(s_cap, dtype=jnp.int32))
+    num_clusters = jnp.sum(comp_valid.astype(jnp.int32))
+    root_label = jnp.where(comp_valid, ranks, CLUSTER_INVALID)
+
+    # ---- per-point labels in original order -----------------------------
+    sn_label = root_label[labels]                       # (S,)
+    pt_sn = sn_of_cell[jnp.clip(cell_id_pt, 0, m - 1)]  # (NO,)
+    pt_valid = sp.key != _IMAX
+    pt_label = jnp.where(pt_valid, sn_label[jnp.clip(pt_sn, 0, s_cap - 1)],
+                         CLUSTER_UNDEFINED)
+    out = jnp.full((n,), CLUSTER_UNDEFINED, jnp.int32).at[
+        jnp.where(pt_valid, sp.orig, n)].set(pt_label, mode="drop")
+    debug = dict(
+        sp=sp, cells=cells, cell_id_pt=cell_id_pt, link1=link1, link2=link2,
+        sn=sn, sn_of_cell=sn_of_cell, col_first_sn=col_first_sn,
+        col_sn_count=col_sn_count, u_col=u_col, v_col=v_col,
+        n_cpairs=n_cpairs, pu=pu, pv=pv, n_snp=n_snp,
+        impossible=impossible, certain=certain, snp_edge=snp_edge,
+        e_u=e_u, e_v=e_v, e_ok=e_ok, labels=labels)
+    return ClusteringResult(out, num_clusters, overflow), debug

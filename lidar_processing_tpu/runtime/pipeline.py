@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
-from ..ops.clustering import cluster as cluster_op
+from ..ops import clustering as _cellgraph
+from ..ops import stixel as _stixel
 from ..ops.hull import ClusterBatch, convex_hulls_batched, gather_clusters
 from ..ops.segmentation import gpf_segment
 from ..types import (ClusteringResult, PolygonBatch, SegmentationResult,
@@ -61,6 +62,9 @@ def device_frame_step(
     """Full on-device pipeline for one padded frame."""
     seg = gpf_segment(xyz, mask, config.segmentation)
     obstacle = mask & (seg.labels == SEG_OBSTACLE)
+    cluster_op = (_stixel.cluster
+                  if config.pipeline.clustering_backend == "stixel"
+                  else _cellgraph.cluster)
     cl = cluster_op(xyz, obstacle, config.clustering, config.pipeline)
 
     small_cut = config.polygonization.small_cluster_size

@@ -70,9 +70,18 @@ class TestSegmentationOp:
         assert np.all(np.asarray(res.labels) == SEG_UNKNOWN)
 
 
-class TestClusteringOp:
-    def test_exact_cc_synthetic(self, rng):
+def _cluster_fn(backend):
+    if backend == "stixel":
+        from lidar_processing_tpu.ops.stixel import cluster
+    else:
         from lidar_processing_tpu.ops.clustering import cluster
+    return cluster
+
+
+@pytest.mark.parametrize("backend", ["stixel", "cellgraph"])
+class TestClusteringOp:
+    def test_exact_cc_synthetic(self, rng, backend):
+        cluster = _cluster_fn(backend)
         cfg = small_cfg()
         # blobs with gaps straddling the 0.424 m radius
         centers = rng.uniform(-10, 10, (20, 3))
@@ -89,8 +98,8 @@ class TestClusteringOp:
         # identical label numbering (min-point-index canonical order)
         assert np.array_equal(dev, ref)
 
-    def test_padding_is_undefined(self, rng):
-        from lidar_processing_tpu.ops.clustering import cluster
+    def test_padding_is_undefined(self, rng, backend):
+        cluster = _cluster_fn(backend)
         cfg = small_cfg()
         pts = rng.normal(0, 0.1, (50, 3)).astype(np.float32)
         pc = pad_cloud(pts, None, cfg.pipeline.max_points)
@@ -98,8 +107,8 @@ class TestClusteringOp:
                       cfg.clustering, cfg.pipeline)
         assert np.all(np.asarray(res.labels)[50:] == CLUSTER_UNDEFINED)
 
-    def test_size_filter(self):
-        from lidar_processing_tpu.ops.clustering import cluster
+    def test_size_filter(self, backend):
+        cluster = _cluster_fn(backend)
         cfg = small_cfg(max_points=256)
         # 3-point cluster (below min 4) + 5-point cluster
         a = np.array([[0, 0, 0], [0.1, 0, 0], [0.2, 0, 0]], np.float32)
@@ -114,8 +123,8 @@ class TestClusteringOp:
         assert np.all(lbl[3:] == 0)
         assert int(res.num_clusters) == 1
 
-    def test_matches_oracle_frame0_obstacles(self, frame0):
-        from lidar_processing_tpu.ops.clustering import cluster
+    def test_matches_oracle_frame0_obstacles(self, frame0, backend):
+        cluster = _cluster_fn(backend)
         cfg = DEFAULT_CONFIG
         seg = orc.gpf_segment(frame0, cfg.segmentation)
         pc = pad_cloud(frame0, None, cfg.pipeline.max_points)
