@@ -1,0 +1,90 @@
+"""Pallas TPU kernel: batched min pairwise squared distance between runs.
+
+The clustering exact tests (ops/stixel.py) reduce to: for P pairs of point
+windows u (P, Wu) and v (P, Wv) given as planar x/y/z coordinate planes,
+compute min over (i, j) of ‖u_i − v_j‖². XLA materializes the (P, Wu, Wv)
+distance block in HBM (gigabytes per frame at the tier shapes), which made
+this the pipeline's dominant cost. This kernel tiles P into blocks of B
+pairs and keeps the entire distance block in VMEM: per grid step it loads
+six (B, W) coordinate planes, accumulates d² = dx² + dy² + dz² on the VPU,
+and writes only the (B, 1) min — HBM traffic is exactly the inputs plus P
+floats.
+
+Math is bit-identical to the XLA fallback in ops/stixel.py (same f32 ops,
+same association order), so labels stay identical across backends.
+
+Ref context: this implements the point-level connectivity test of the
+reference's FEC radius search (ref: src/clustering.cpp:90-110) for runs of
+the sorted point buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# pairs per grid step, keyed by (Wu, Wv) block area — keeps the (B, Wu, Wv)
+# VMEM block near 2-4 MB
+_VMEM_BUDGET = 2 * 1024 * 1024
+
+
+def _pairs_per_block(wu: int, wv: int, p: int) -> int:
+    b = max(8, _VMEM_BUDGET // (wu * wv * 4))
+    while p % b:
+        b //= 2
+    return max(b, 1)
+
+
+def _kernel(ux_ref, uy_ref, uz_ref, vx_ref, vy_ref, vz_ref, out_ref):
+    ux = ux_ref[:]                                    # (B, Wu)
+    vx = vx_ref[:]                                    # (B, Wv)
+    d = ux[:, :, None] - vx[:, None, :]
+    d2 = d * d                                        # (B, Wu, Wv)
+    d = uy_ref[:][:, :, None] - vy_ref[:][:, None, :]
+    d2 = d2 + d * d
+    d = uz_ref[:][:, :, None] - vz_ref[:][:, None, :]
+    d2 = d2 + d * d
+    out_ref[:] = jnp.min(jnp.min(d2, axis=2), axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def min_d2_planar(ux, uy, uz, vx, vy, vz, interpret: bool = False):
+    """min_{i,j} ((ux[p,i]-vx[p,j])² + …) per pair p.
+
+    All six inputs (P, W*) f32 with masked lanes pre-filled so that
+    u-fill − v-fill is huge (the caller uses +BIG / −BIG). Returns (P,) f32.
+    """
+    p, wu = ux.shape
+    wv = vx.shape[1]
+    b = _pairs_per_block(wu, wv, p)
+    grid = (p // b,)
+    spec_u = pl.BlockSpec((b, wu), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((b, wv), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
+        grid=grid,
+        in_specs=[spec_u, spec_u, spec_u, spec_v, spec_v, spec_v],
+        out_specs=pl.BlockSpec((b, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * p * wu * wv, bytes_accessed=(3 * p * (wu + wv) + p) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(ux, uy, uz, vx, vy, vz)
+    return out[:, 0]
+
+
+def min_d2_planar_xla(ux, uy, uz, vx, vy, vz):
+    """XLA fallback with identical math/association order (CPU tests)."""
+    d = ux[:, :, None] - vx[:, None, :]
+    d2 = d * d
+    d = uy[:, :, None] - vy[:, None, :]
+    d2 = d2 + d * d
+    d = uz[:, :, None] - vz[:, None, :]
+    d2 = d2 + d * d
+    return jnp.min(jnp.min(d2, axis=2), axis=1)

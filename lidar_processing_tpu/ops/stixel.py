@@ -76,11 +76,20 @@ _XY_OFFSETS = [(0, 1), (0, 2), (1, -2), (1, -1), (1, 0), (1, 1), (1, 2),
 # exact-test tiers: (points-per-side cap, pair slots). Pairs with a side
 # larger than the top cap are split into 256-point sub-pair chunks inside
 # _tiered_exact (8x8 grid => sides up to 2048 points; beyond that the
-# overflow counter fires).
-_TIERS = ((32, 65536), (128, 6144), (256, 8192))
+# overflow counter fires). Slots are sized to measured KITTI occupancy
+# (intra max 2047/264/71, supernode-pair max 12652/2271/1616 over the
+# sequence) with >=1.8x headroom; static slot count is linear cost, so
+# right-sizing matters. Overflow counters fire if a frame ever exceeds.
+_TIERS_INTRA = ((32, 4096), (128, 1024), (256, 512))
+_TIERS_SNP = ((32, 24576), (128, 4096), (256, 3072))
 _CHUNK = 256
 _CHUNK_GRID = 8
-_CHUNK_PAIRS = 1024   # compacted oversized-pair slots
+_CHUNK_PAIRS = 768    # compacted oversized-pair slots (measured max 360)
+
+# superrow width for run gathers: points are fetched as whole 32-point
+# superrows (384 B — full HBM transactions, ~32x the lane utilization of
+# 12 B row gathers) and realigned by masking on the VPU, which is free.
+_SR = 32
 
 
 class _SortedPoints(NamedTuple):
@@ -170,32 +179,56 @@ def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
     return tbl, cell_id, col_id
 
 
+def _wide_block_planar(planes, starts, counts, fill, width: int):
+    """Gather contiguous point runs via whole superrows, one plane per axis.
+
+    planes: 3-tuple of (no/_SR, _SR) f32 — the sorted x/y/z coordinates
+    viewed as 32-point superrows. Returns three (P, width + _SR) windows:
+    the run [starts, starts+counts) realigned by masking (invalid lanes =
+    fill). Fetching whole 128 B superrows instead of 12 B point rows keeps
+    HBM transactions full; the <= 31-lane overfetch is masked on the VPU
+    for free. The planar layout feeds kernels.min_d2 directly.
+    """
+    nsr = planes[0].shape[0]
+    nrow = width // _SR + 1
+    sr0 = starts // _SR
+    j = jnp.arange(nrow, dtype=jnp.int32)
+    ridx = jnp.clip(sr0[:, None] + j[None, :], 0, nsr - 1)
+    off = (starts - sr0 * _SR)[:, None]                 # 0.._SR-1
+    aw = jnp.arange(nrow * _SR, dtype=jnp.int32)[None, :]
+    ok = (aw >= off) & (aw < off + jnp.minimum(counts, width)[:, None])
+    p = starts.shape[0]
+    return tuple(
+        jnp.where(ok, pln[ridx].reshape(p, nrow * _SR), fill)
+        for pln in planes)
+
+
 def _block_min_d2(sp_xyz, u_start, u_count, v_start, v_count, cap: int):
     """Exact min pairwise d² between contiguous point runs (batched).
 
     All inputs (P,) int32; returns (P,) f32 min over the first `cap` points
     of each side (counts beyond cap must be handled by the caller's tier
     selection / overflow accounting). For large caps the v side is chunked
-    so the (P, cap, chunk) distance block stays bounded.
+    so the distance block stays bounded. Runs are fetched superrow-aligned
+    (see _wide_block_planar); the (P, Wu, Wv) distance block runs as a
+    Pallas kernel on TPU (VMEM-resident — see kernels/min_d2.py) and as an
+    XLA reduction elsewhere, with identical f32 math either way.
     """
+    from ..kernels.min_d2 import min_d2_planar, min_d2_planar_xla
     no = sp_xyz.shape[0]
-    ar = jnp.arange(cap, dtype=jnp.int32)
+    assert no % _SR == 0, "max_obstacle_points must be a multiple of 32"
+    planes = tuple(sp_xyz[:, a].reshape(no // _SR, _SR) for a in range(3))
+    use_pallas = jax.default_backend() == "tpu"
 
-    def block(starts, counts, fill, width, offset=0):
-        aw = jnp.arange(width, dtype=jnp.int32) + offset
-        idx = jnp.clip(starts[:, None] + aw[None, :], 0, no - 1)
-        pts = sp_xyz[idx]                                   # (P,width,3)
-        ok = aw[None, :] < jnp.minimum(counts, cap)[:, None]
-        return jnp.where(ok[..., None], pts, fill)
-
-    pu = block(u_start, u_count, _F_BIG, cap)
+    pu = _wide_block_planar(planes, u_start, u_count, _F_BIG, cap)
     chunk = min(cap, 128)
     best = jnp.full((u_start.shape[0],), 3.4e38, jnp.float32)
     for off in range(0, cap, chunk):
-        pv = block(v_start, v_count, -_F_BIG, chunk, off)
-        d = pu[:, :, None, :] - pv[:, None, :, :]
-        d2 = jnp.sum(d * d, axis=-1)                        # (P,cap,chunk)
-        best = jnp.minimum(best, jnp.min(d2, axis=(1, 2)))
+        # v-chunk = the sub-run [v_start+off, v_start+off+piece)
+        piece = jnp.clip(jnp.minimum(v_count, cap) - off, 0, chunk)
+        pv = _wide_block_planar(planes, v_start + off, piece, -_F_BIG, chunk)
+        fn = min_d2_planar if use_pallas else min_d2_planar_xla
+        best = jnp.minimum(best, fn(*pu, *pv))
     return best
 
 
@@ -210,8 +243,8 @@ class _PairTest(NamedTuple):
     active: jnp.ndarray    # bool
 
 
-def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int,
+                  tiers=_TIERS_SNP) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run tiered block tests; scatter edge verdicts into (n_results,) bool.
 
     Oversized pairs (a side beyond the top tier cap) are split into
@@ -253,8 +286,10 @@ def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int
     overflow = ovf_b + jnp.sum(
         (big & (maxc0 > _CHUNK * _CHUNK_GRID)).astype(jnp.int32))
     lo = 0
-    for cap, slots in _TIERS:
+    tier_counts = []
+    for cap, slots in tiers:
         in_tier = pt.active & (maxc > lo) & (maxc <= cap)
+        tier_counts.append(jnp.sum(in_tier.astype(jnp.int32)))
         idx, cnt, ovf = compact_mask(in_tier, slots)
         overflow = overflow + ovf
         tier_active = jnp.arange(slots, dtype=jnp.int32) < cnt
@@ -267,10 +302,10 @@ def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int
         tgt = jnp.where(verdict, pt.slot[idx], n_results)
         out = out.at[tgt].set(True, mode="drop")
         lo = cap
-    top_cap = _TIERS[-1][0]
+    top_cap = tiers[-1][0]
     overflow = overflow + jnp.sum((pt.active & (maxc > top_cap))
                                   .astype(jnp.int32))
-    return out, overflow
+    return out, overflow, jnp.stack(tier_counts + [n_big])
 
 
 class _SnTable(NamedTuple):
@@ -455,7 +490,8 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
     pt = _PairTest(*(jnp.concatenate(x) for x in
                      (pt_u_start, pt_u_cnt, pt_v_start, pt_v_cnt,
                       pt_slot, pt_act)))
-    intra_verdict, ovf_t = _tiered_exact(sp.xyz, pt, r2, 2 * m)
+    intra_verdict, ovf_t, tiers1 = _tiered_exact(sp.xyz, pt, r2, 2 * m,
+                                                 tiers=_TIERS_INTRA)
     overflow = overflow + ovf_t
 
     link1 = intra_link[1] | intra_verdict[:m]
@@ -571,7 +607,8 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
         v_start=rv[:, 9].astype(jnp.int32),
         v_count=rv[:, 10].astype(jnp.int32),
         slot=jnp.arange(snp, dtype=jnp.int32), active=ambiguous)
-    snp_verdict, ovf_t2 = _tiered_exact(sp.xyz, pt2, r2, snp)
+    snp_verdict, ovf_t2, tiers2 = _tiered_exact(sp.xyz, pt2, r2, snp,
+                                                tiers=_TIERS_SNP)
     overflow = overflow + ovf_t2
     snp_edge = pair_certain | snp_verdict
 
@@ -655,5 +692,6 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
         col_sn_count=col_sn_count, u_col=u_col, v_col=v_col,
         n_cpairs=n_cpairs, pu=pu, pv=pv, n_snp=n_snp,
         impossible=impossible, certain=certain, snp_edge=snp_edge,
-        e_u=e_u, e_v=e_v, e_ok=e_ok, labels=labels)
+        e_u=e_u, e_v=e_v, e_ok=e_ok, labels=labels,
+        tiers1=tiers1, tiers2=tiers2)
     return ClusteringResult(out, num_clusters, overflow), debug
