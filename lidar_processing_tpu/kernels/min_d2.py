@@ -10,8 +10,12 @@ six (B, W) coordinate planes, accumulates d² = dx² + dy² + dz² on the VPU,
 and writes only the (B, 1) min — HBM traffic is exactly the inputs plus P
 floats.
 
-Math is bit-identical to the XLA fallback in ops/stixel.py (same f32 ops,
-same association order), so labels stay identical across backends.
+Math matches the XLA fallback op-for-op (same f32 ops, same association
+order); results agree to within a few ULP — the only divergence source is
+whether a given compiler configuration contracts the mul+add accumulation
+points into FMAs (asserted by tests/test_kernels.py). Edge verdicts
+threshold at r² ≈ 0.18, so a ULP-level wobble cannot flip labels on real
+data.
 
 Ref context: this implements the point-level connectivity test of the
 reference's FEC radius search (ref: src/clustering.cpp:90-110) for runs of
@@ -33,10 +37,12 @@ _VMEM_BUDGET = 2 * 1024 * 1024
 
 
 def _pairs_per_block(wu: int, wv: int, p: int) -> int:
+    """Pairs per grid step: a multiple of 8 (Mosaic sublane alignment for
+    f32 blocks), sized so the (B, Wu, Wv) distance block stays in budget.
+    The caller pads P up to a multiple of the returned B."""
     b = max(8, _VMEM_BUDGET // (wu * wv * 4))
-    while p % b:
-        b //= 2
-    return max(b, 1)
+    b -= b % 8
+    return min(b, max(8, -(-p // 8) * 8))
 
 
 def _kernel(ux_ref, uy_ref, uz_ref, vx_ref, vy_ref, vz_ref, out_ref):
@@ -61,22 +67,28 @@ def min_d2_planar(ux, uy, uz, vx, vy, vz, interpret: bool = False):
     p, wu = ux.shape
     wv = vx.shape[1]
     b = _pairs_per_block(wu, wv, p)
-    grid = (p // b,)
+    pp = -(-p // b) * b           # pad P to a block multiple (sliced off)
+    if pp != p:
+        pad = ((0, pp - p), (0, 0))
+        ux, uy, uz = (jnp.pad(a, pad) for a in (ux, uy, uz))
+        vx, vy, vz = (jnp.pad(a, pad) for a in (vx, vy, vz))
+    grid = (pp // b,)
     spec_u = pl.BlockSpec((b, wu), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_v = pl.BlockSpec((b, wv), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pp, 1), jnp.float32),
         grid=grid,
         in_specs=[spec_u, spec_u, spec_u, spec_v, spec_v, spec_v],
         out_specs=pl.BlockSpec((b, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=8 * p * wu * wv, bytes_accessed=(3 * p * (wu + wv) + p) * 4,
+            flops=8 * pp * wu * wv,
+            bytes_accessed=(3 * pp * (wu + wv) + pp) * 4,
             transcendentals=0),
         interpret=interpret,
     )(ux, uy, uz, vx, vy, vz)
-    return out[:, 0]
+    return out[:p, 0]
 
 
 def min_d2_planar_xla(ux, uy, uz, vx, vy, vz):

@@ -218,7 +218,13 @@ def _block_min_d2(sp_xyz, u_start, u_count, v_start, v_count, cap: int):
     no = sp_xyz.shape[0]
     assert no % _SR == 0, "max_obstacle_points must be a multiple of 32"
     planes = tuple(sp_xyz[:, a].reshape(no // _SR, _SR) for a in range(3))
-    use_pallas = jax.default_backend() == "tpu"
+
+    # Pallas on TPU, plain XLA elsewhere — selected at LOWERING time per
+    # target platform (a CPU-mesh computation in a TPU-attached process
+    # must still take the XLA branch).
+    def min_d2(*args):
+        return jax.lax.platform_dependent(
+            *args, tpu=min_d2_planar, default=min_d2_planar_xla)
 
     pu = _wide_block_planar(planes, u_start, u_count, _F_BIG, cap)
     chunk = min(cap, 128)
@@ -227,8 +233,7 @@ def _block_min_d2(sp_xyz, u_start, u_count, v_start, v_count, cap: int):
         # v-chunk = the sub-run [v_start+off, v_start+off+piece)
         piece = jnp.clip(jnp.minimum(v_count, cap) - off, 0, chunk)
         pv = _wide_block_planar(planes, v_start + off, piece, -_F_BIG, chunk)
-        fn = min_d2_planar if use_pallas else min_d2_planar_xla
-        best = jnp.minimum(best, fn(*pu, *pv))
+        best = jnp.minimum(best, min_d2(*pu, *pv))
     return best
 
 
