@@ -108,6 +108,29 @@ class PipelineConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SpatialConfig:
+    """Static shapes for spatial grid-block sharding (parallel/spatial.py).
+
+    One cloud is split into x-bands (band width >= the clustering radius, so
+    only adjacent blocks can be connected), one band per device along the
+    'space' mesh axis — the TPU-native analogue of the reference's planar
+    x-partitioning (ref: src/segmentation.cpp:104-149) applied to the whole
+    pipeline. Caps are per BLOCK; violations raise the overflow counter.
+    """
+
+    block_points: int = 32768        # padded points per block (mult. of 32)
+    block_clusters: int = 4096       # local component slots per block
+    halo_points: int = 2048          # margin points exchanged per boundary
+    # per-block caps for the local stixel run (scaled-down PipelineConfig)
+    block_cells: int = 16384
+    block_columns: int = 8192
+    block_supernodes: int = 12288
+    block_column_pairs: int = 32768
+    block_sn_pairs: int = 32768
+    block_live_edges: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
 class EngineConfig:
     """Top-level config bundle for the whole engine."""
 
@@ -115,6 +138,7 @@ class EngineConfig:
     clustering: ClusteringConfig = ClusteringConfig()
     polygonization: PolygonizationConfig = PolygonizationConfig()
     pipeline: PipelineConfig = PipelineConfig()
+    spatial: SpatialConfig = SpatialConfig()
 
     def replace(self, **kwargs) -> "EngineConfig":
         return dataclasses.replace(self, **kwargs)

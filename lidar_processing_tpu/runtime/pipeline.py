@@ -1,13 +1,19 @@
 """End-to-end frame pipeline: segment -> cluster -> polygonize.
 
 The TPU-side program (one jitted function per frame shape) performs ground
-segmentation, clustering, cluster gathering, and small-cluster convex hulls
+segmentation, clustering, label-run sorting, and small-cluster convex hulls
 entirely on device — the equivalent of Processor::process's stages 1-2 and
 the small-cluster branch of stage 3 (ref: src/processor.cpp:135-219,
 src/polygon_simplification.cpp:96-115). Large-cluster chi-shape outlines
-(Delaunay-based, inherently irregular) run on the host over the gathered
-cluster batch, using the native C++ module when built, else the scipy oracle
+(Delaunay-based, inherently irregular) run on the host over label-sorted
+run slices, using the native C++ module when built, else the scipy oracle
 path (ref: src/polygon_simplification.cpp:117-138).
+
+Cluster gathering is ONE label sort (ops/hull.py label_runs): each cluster
+becomes a contiguous run, sliced for free on host and window-gathered on
+device — replacing the reference's per-point scatter loop
+(ref: src/processor.cpp:180-200) without the (C, P) random gather it would
+naively map to.
 """
 
 from __future__ import annotations
@@ -22,25 +28,32 @@ import numpy as np
 from ..config import EngineConfig
 from ..ops import clustering as _cellgraph
 from ..ops import stixel as _stixel
-from ..ops.hull import ClusterBatch, convex_hulls_batched, gather_clusters
+from ..ops.hull import (LabelRuns, convex_hulls_batched, gather_runs,
+                        label_runs)
+from ..ops.scan_utils import compact_mask
 from ..ops.segmentation import gpf_segment
 from ..types import (ClusteringResult, PolygonBatch, SegmentationResult,
                      SEG_OBSTACLE)
 
-# two-tier cluster gathering: small clusters take the device convex-hull
+# two-tier outline extraction: small clusters take the device convex-hull
 # path, large ones the host concave path (ref: src/polygon_simplification.cpp:98)
-SMALL_P = 32          # padded points per small-cluster slot
+SMALL_P = 32          # padded points per small-cluster slot (device hulls)
 SMALL_C = 1024        # small-cluster slots
-LARGE_P = 8192        # padded points per large-cluster slot
-LARGE_C = 512         # large-cluster slots
+LARGE_C = 512         # large-cluster (host concave) slots
+NUM_SLOTS = SMALL_C + LARGE_C   # cluster-id table size
 
 
 class FrameResult(NamedTuple):
     seg: SegmentationResult
     clustering: ClusteringResult
-    small: ClusterBatch           # clusters with < small_cluster_size points
-    large: ClusterBatch           # the rest
+    runs: LabelRuns               # label-sorted cloud + per-cluster runs
+    small_ids: jnp.ndarray        # (SMALL_C,) cluster id per small slot
+    small_counts: jnp.ndarray     # (SMALL_C,)
+    n_small: jnp.ndarray          # ()
     small_hulls: PolygonBatch     # device convex hulls of small clusters
+    large_ids: jnp.ndarray        # (LARGE_C,) cluster id per large slot
+    n_large: jnp.ndarray          # ()
+    hull_overflow: jnp.ndarray    # () slot-capacity violations
 
 
 class FrameOutputs(NamedTuple):
@@ -52,6 +65,7 @@ class FrameOutputs(NamedTuple):
                                   #  for non-obstacle points)
     num_clusters: int
     outlines: List[np.ndarray]    # ordered 2-D polygons, one per cluster
+    outline_cluster_ids: List[int]  # cluster id of each outline
     overflow: int
 
 
@@ -67,60 +81,42 @@ def device_frame_step(
                   else _cellgraph.cluster)
     cl = cluster_op(xyz, obstacle, config.clustering, config.pipeline)
 
-    small_cut = config.polygonization.small_cluster_size
-    # split labels into small/large by per-cluster point count
-    counts_all = jax.ops.segment_sum(
-        jnp.where(cl.labels >= 0, 1, 0),
-        jnp.clip(cl.labels, 0, SMALL_C + LARGE_C - 1),
-        num_segments=SMALL_C + LARGE_C)
-    is_small_cluster = counts_all < small_cut            # (C_tot,)
-    lbl_small = jnp.where(
-        (cl.labels >= 0) & is_small_cluster[jnp.clip(cl.labels, 0, SMALL_C + LARGE_C - 1)],
-        cl.labels, -1)
-    lbl_large = jnp.where(
-        (cl.labels >= 0) & ~is_small_cluster[jnp.clip(cl.labels, 0, SMALL_C + LARGE_C - 1)],
-        cl.labels, -1)
+    runs = label_runs(xyz, cl.labels, NUM_SLOTS)
+    # device convex-hull path only handles up to SMALL_P points per cluster
+    small_cut = min(config.polygonization.small_cluster_size, SMALL_P + 1)
+    present = runs.counts > 0
+    is_small = present & (runs.counts < small_cut)
+    small_idx, n_small, ovf_s = compact_mask(is_small, SMALL_C)
+    small_act = jnp.arange(SMALL_C, dtype=jnp.int32) < n_small
+    s_starts = jnp.where(small_act, runs.starts[small_idx], 0)
+    s_counts = jnp.where(small_act, runs.counts[small_idx], 0)
+    small_pts = gather_runs(runs.sorted_xyz, s_starts, s_counts, SMALL_P)
+    small_hulls = convex_hulls_batched(
+        small_pts[..., :2], s_counts, min(SMALL_P, small_cut + 1))
 
-    # compact each tier's labels to its own 0..k-1 id space
-    def compact(lbl, cap):
-        present = jax.ops.segment_max(
-            jnp.where(lbl >= 0, 1, 0), jnp.clip(lbl, 0, cap - 1),
-            num_segments=cap)
-        # segment_max fills label-free slots with INT32_MIN, not 0
-        present = jnp.maximum(present, 0)
-        new_id = jnp.cumsum(present) - 1
-        return jnp.where(lbl >= 0, new_id[jnp.clip(lbl, 0, cap - 1)], -1), present
-
-    lbl_small_c, _ = compact(lbl_small, SMALL_C + LARGE_C)
-    lbl_large_c, _ = compact(lbl_large, SMALL_C + LARGE_C)
-
-    small = gather_clusters(xyz, lbl_small_c, SMALL_C, SMALL_P)
-    large = gather_clusters(xyz, lbl_large_c, LARGE_C, LARGE_P)
-    small_hulls = convex_hulls_batched(small.xy, small.counts,
-                                       min(SMALL_P, small_cut + 1))
-    return FrameResult(seg, cl, small, large, small_hulls)
+    large_idx, n_large, ovf_l = compact_mask(present & ~is_small, LARGE_C)
+    hull_overflow = runs.overflow + ovf_s + ovf_l
+    return FrameResult(seg, cl, runs, small_idx, s_counts, n_small,
+                       small_hulls, large_idx, n_large, hull_overflow)
 
 
 def _host_concave_outlines(
-    large: ClusterBatch, config: EngineConfig
+    sorted_xyz: np.ndarray, starts: np.ndarray, counts: np.ndarray,
+    large_ids: np.ndarray, n_large: int, config: EngineConfig,
 ) -> List[np.ndarray]:
-    """Chi-shape outlines for the large-cluster batch (host).
+    """Chi-shape outlines for the large clusters (host, run slices).
 
     Uses the native C++ hull module when available, else the scipy-based
-    oracle implementation.
+    oracle implementation (ref: src/polygon_simplification.cpp:117-138).
     """
     from ..ops import hull_native
-    xy = np.asarray(large.xy)
-    counts = np.asarray(large.counts)
-    num = int(large.num)
     chi = config.polygonization.chi
     outlines: List[np.ndarray] = []
-    for c in range(num):
-        k = min(int(counts[c]), xy.shape[1])
-        if k == 0:
-            continue
-        pts = xy[c, :k]
-        outlines.append(hull_native.chi_concave_hull(pts, chi))
+    for k in range(n_large):
+        c = int(large_ids[k])
+        s, cnt = int(starts[c]), int(counts[c])
+        outlines.append(
+            hull_native.chi_concave_hull(sorted_xyz[s:s + cnt, :2], chi))
     return outlines
 
 
@@ -143,18 +139,29 @@ def host_outputs(fr: FrameResult, config: EngineConfig,
     # small-cluster convex outlines from device
     sh_v = np.asarray(fr.small_hulls.vertices)
     sh_n = np.asarray(fr.small_hulls.counts)
+    small_ids = np.asarray(fr.small_ids)
     outlines: List[np.ndarray] = []
-    for c in range(int(fr.small.num)):
+    outline_ids: List[int] = []
+    for c in range(int(fr.n_small)):
         k = int(sh_n[c])
         if k > 0:
             outlines.append(sh_v[c, :k].astype(np.float32))
-    outlines.extend(_host_concave_outlines(fr.large, config))
+            outline_ids.append(int(small_ids[c]))
+
+    sorted_xyz = np.asarray(fr.runs.sorted_xyz)
+    starts = np.asarray(fr.runs.starts)
+    counts = np.asarray(fr.runs.counts)
+    large_ids = np.asarray(fr.large_ids)
+    n_large = int(fr.n_large)
+    outlines.extend(_host_concave_outlines(
+        sorted_xyz, starts, counts, large_ids, n_large, config))
+    outline_ids.extend(int(large_ids[k]) for k in range(n_large))
 
     return FrameOutputs(
         seg_labels=seg_labels,
         cluster_labels=cl_labels,
         num_clusters=int(fr.clustering.num_clusters),
         outlines=outlines,
-        overflow=int(fr.clustering.overflow) + int(fr.small.overflow)
-        + int(fr.large.overflow),
+        outline_cluster_ids=outline_ids,
+        overflow=int(fr.clustering.overflow) + int(fr.hull_overflow),
     )

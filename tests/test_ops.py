@@ -161,15 +161,31 @@ class TestHullOps:
             np.testing.assert_allclose(np.roll(ref, -roll, 0), dev,
                                        atol=1e-6)
 
-    def test_gather_clusters(self, rng):
-        from lidar_processing_tpu.ops.hull import gather_clusters
+    def test_label_runs_and_gather(self, rng):
+        from lidar_processing_tpu.ops.hull import gather_runs, label_runs
         n = 512
         xyz = rng.normal(0, 1, (n, 3)).astype(np.float32)
         labels = rng.integers(-1, 5, (n,)).astype(np.int32)
-        out = gather_clusters(jnp.asarray(xyz), jnp.asarray(labels), 8, 256)
+        runs = label_runs(jnp.asarray(xyz), jnp.asarray(labels), 8)
+        assert int(runs.overflow) == 0
+        assert int(runs.num) == 5
+        sorted_np = np.asarray(runs.sorted_xyz)
+        pts = gather_runs(runs.sorted_xyz, runs.starts, runs.counts, 256)
         for lbl in range(5):
-            sel = xyz[labels == lbl]
-            k = int(out.counts[lbl])
+            sel = xyz[labels == lbl]       # original point order
+            s, k = int(runs.starts[lbl]), int(runs.counts[lbl])
             assert k == sel.shape[0]
-            np.testing.assert_allclose(
-                np.asarray(out.xyz[lbl][:k]), sel, atol=0)
+            np.testing.assert_array_equal(sorted_np[s:s + k], sel)
+            np.testing.assert_array_equal(
+                np.asarray(pts[lbl][:k]), sel)
+            assert np.all(np.asarray(pts[lbl][k:]) == 0.0)
+
+    def test_label_runs_overflow_counted(self, rng):
+        """Cluster ids beyond the slot table are DROPPED and counted,
+        never silently merged into the last slot."""
+        from lidar_processing_tpu.ops.hull import label_runs
+        labels = np.array([0, 1, 2, 3, 3, 9, 9, -1], np.int32)
+        xyz = rng.normal(0, 1, (8, 3)).astype(np.float32)
+        runs = label_runs(jnp.asarray(xyz), jnp.asarray(labels), 4)
+        assert int(runs.overflow) == 2
+        assert np.asarray(runs.counts).tolist() == [1, 1, 1, 2]

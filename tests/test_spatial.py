@@ -1,0 +1,133 @@
+"""Spatial grid-block sharding vs the single-device clustering path.
+
+Exactness contract (SURVEY §7 step 6): labels from cluster_spatial on the
+8-device CPU mesh must be BIT-IDENTICAL to ops.stixel.cluster on one
+device — same canonical numbering, same size-filter semantics, same
+UNDEFINED handling — on synthetic scenes, a real KITTI frame, and a
+1M-point synthetic cloud (env-gated: LIDAR_RUN_1M=1, ~minutes on CPU).
+"""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_processing_tpu.config import DEFAULT_CONFIG, SpatialConfig
+from lidar_processing_tpu.ops import stixel as sx
+from lidar_processing_tpu.ops.segmentation import gpf_segment
+from lidar_processing_tpu.parallel.spatial import cluster_spatial
+from lidar_processing_tpu.types import SEG_OBSTACLE, pad_cloud
+
+
+def mesh8():
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()[:8]), ("space",))
+
+
+def assert_identical(spatial_res, single_res):
+    np.testing.assert_array_equal(np.asarray(spatial_res.labels),
+                                  np.asarray(single_res.labels))
+    assert int(spatial_res.num_clusters) == int(single_res.num_clusters)
+    assert int(spatial_res.overflow) == 0
+    assert int(single_res.overflow) == 0
+
+
+class TestClusterSpatial:
+    def test_synthetic_blobs(self, rng):
+        cfg = DEFAULT_CONFIG
+        n, npad = 6000, 8192
+        # blobs straddling band boundaries: a dense rail along x plus blobs
+        # (z kept within the 128-cell grid height, as for automotive LiDAR)
+        rail = rng.uniform([-40, 0, 0], [40, 0.1, 0.1], (n // 2, 3))
+        centers = rng.uniform([-35, -35, -1], [35, 35, 1], (n // 8, 3))
+        blobs = (rng.normal(0, 0.15, (n // 2, 3))
+                 + np.repeat(centers, 4, axis=0))
+        xyz = np.concatenate([rail, blobs]).astype(np.float32)
+        pc = pad_cloud(xyz, None, npad)
+
+        pcfg = dataclasses.replace(cfg.pipeline, max_points=npad)
+        single = sx.cluster(pc.xyz, pc.mask, cfg.clustering, pcfg)
+        scfg = SpatialConfig(block_points=4096, block_clusters=1024,
+                             halo_points=1024,
+                             block_cells=4096, block_columns=2048,
+                             block_supernodes=3072,
+                             block_column_pairs=8192,
+                             block_sn_pairs=8192, block_live_edges=2048)
+        spatial = cluster_spatial(mesh8(), pc.xyz, pc.mask,
+                                  cfg.clustering, pcfg, scfg)
+        assert_identical(spatial, single)
+
+    def test_size_filter_spans_blocks(self, rng):
+        """A cluster whose fragments are each < min_size but whose merged
+        size passes the filter must survive (and vice versa)."""
+        cfg = DEFAULT_CONFIG
+        # chain of points spaced 0.4m (< R=0.4243) along x: one cluster
+        # crossing every band boundary, 2 points per band at s=8 bands
+        n_chain = 16
+        chain = np.stack([np.arange(n_chain) * 0.4,
+                          np.zeros(n_chain), np.zeros(n_chain)], 1)
+        # an isolated pair (size 2 < min 4) => INVALID everywhere
+        pair = np.array([[100.0, 50, 0], [100.3, 50, 0]])
+        xyz = np.concatenate([chain, pair]).astype(np.float32)
+        pc = pad_cloud(xyz, None, 1024)
+        pcfg = dataclasses.replace(
+            cfg.pipeline, max_points=1024, max_obstacle_points=1024,
+            max_cells=512, max_columns=256, max_supernodes=384,
+            max_column_pairs=1024, max_sn_pairs=1024, max_live_edges=256)
+        single = sx.cluster(pc.xyz, pc.mask, cfg.clustering, pcfg)
+        scfg = SpatialConfig(block_points=256, block_clusters=128,
+                             halo_points=128,
+                             block_cells=256, block_columns=128,
+                             block_supernodes=192, block_column_pairs=512,
+                             block_sn_pairs=512, block_live_edges=128)
+        spatial = cluster_spatial(mesh8(), pc.xyz, pc.mask,
+                                  cfg.clustering, pcfg, scfg)
+        assert_identical(spatial, single)
+        lab = np.asarray(spatial.labels)
+        assert (lab[:n_chain] == lab[0]).all() and lab[0] >= 0
+        assert (lab[n_chain:n_chain + 2] == -1).all()
+
+    def test_frame0_obstacles(self, frame0):
+        cfg = DEFAULT_CONFIG
+        pc = pad_cloud(frame0, None, cfg.pipeline.max_points)
+        seg = gpf_segment(pc.xyz, pc.mask, cfg.segmentation)
+        obstacle = pc.mask & (seg.labels == SEG_OBSTACLE)
+        single = sx.cluster(pc.xyz, obstacle, cfg.clustering, cfg.pipeline)
+        spatial = cluster_spatial(mesh8(), pc.xyz, obstacle,
+                                  cfg.clustering, cfg.pipeline,
+                                  DEFAULT_CONFIG.spatial)
+        assert_identical(spatial, single)
+
+    @pytest.mark.skipif(os.environ.get("LIDAR_RUN_1M") != "1",
+                        reason="set LIDAR_RUN_1M=1 (CPU runtime: minutes)")
+    def test_synthetic_1m_points(self, rng):
+        cfg = DEFAULT_CONFIG
+        n = 1_000_000
+        npad = 1 << 20
+        # KITTI-like density scaled up: 250m x 250m field of blobs + noise
+        centers = rng.uniform([-125, -125, -1], [125, 125, 2],
+                              (n // 200, 3))
+        blobs = (rng.normal(0, 0.2, (n // 2, 3)).astype(np.float32)
+                 + np.repeat(centers, 100, axis=0).astype(np.float32))
+        noise = rng.uniform([-125, -125, -2], [125, 125, 3],
+                            (n // 2, 3)).astype(np.float32)
+        xyz = np.concatenate([blobs, noise]).astype(np.float32)
+        pc = pad_cloud(xyz, None, npad)
+        pcfg = dataclasses.replace(
+            cfg.pipeline, max_points=npad, max_obstacle_points=npad,
+            max_cells=1 << 19, max_columns=1 << 18,
+            max_supernodes=1 << 18, max_column_pairs=1 << 20,
+            max_sn_pairs=1 << 20, max_live_edges=1 << 18)
+        single = sx.cluster(pc.xyz, pc.mask, cfg.clustering, pcfg)
+        scfg = SpatialConfig(
+            block_points=1 << 18, block_clusters=1 << 16,
+            halo_points=16384,
+            block_cells=1 << 17, block_columns=1 << 16,
+            block_supernodes=1 << 16, block_column_pairs=1 << 18,
+            block_sn_pairs=1 << 18, block_live_edges=1 << 16)
+        spatial = cluster_spatial(mesh8(), pc.xyz, pc.mask,
+                                  cfg.clustering, pcfg, scfg)
+        assert_identical(spatial, single)
