@@ -89,16 +89,18 @@ class PipelineConfig:
     # Voxel-grid clustering capacities (checked at runtime; an overflow
     # counter is reported so tests can assert sufficiency on the dataset).
     cell_capacity: int = 64          # points per cell in ambiguous-pair checks
-    max_cells: int = 32768           # occupied-cell slots (measured ~16k/frame)
+    max_cells: int = 24576           # occupied-cell slots (measured 16,529)
     max_ambiguous_pairs: int = 131072  # ambiguous cell-pair slots (~56k/frame)
-    # Stixel-clustering capacities (ops/stixel.py; measured KITTI values in
-    # parentheses — caps carry ~2x headroom and overflow counters).
-    max_obstacle_points: int = 98304   # compacted obstacle buffer (~50k)
-    max_columns: int = 16384           # occupied xy columns (~6.7k)
-    max_supernodes: int = 24576        # stixels (~7.5k)
-    max_column_pairs: int = 65536      # 12-offset column adjacencies (~29k)
-    max_sn_pairs: int = 65536          # supernode candidate pairs (~38k)
-    max_live_edges: int = 16384        # unresolved edges after CC round 1
+    # Stixel-clustering capacities (ops/stixel.py). Sized from the measured
+    # maxima over ALL 154 bundled frames (tools/measure_caps.py, noted in
+    # parentheses) with >=1.2x headroom; static caps are linear cost on TPU
+    # whether occupied or not, and every violation raises overflow.
+    max_obstacle_points: int = 81920   # compacted obstacle buffer (67,816)
+    max_columns: int = 12288           # occupied xy columns (6,902)
+    max_supernodes: int = 12288        # stixels (8,459)
+    max_column_pairs: int = 49152      # 12-offset column adjacencies (33,782)
+    max_sn_pairs: int = 65536          # supernode candidate pairs (58,542)
+    max_live_edges: int = 12288        # live edges after CC round 1 (6,599)
     replay_rate_hz: float = 10.0         # ref: src/dataloader.cpp:30
     queue_depth: int = 2                 # DDS QoS keep-last depth (processor.cpp:69)
     # Clustering backend: "stixel" (ops/stixel.py, sort/scan-based — the

@@ -34,7 +34,10 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-_F_INF = jnp.float32(3.4e38)
+# true +inf: invalid/absent results are documented as +inf, and the
+# `isfinite` guard below relies on it (a large-but-finite fill would make
+# that guard a silent no-op)
+_F_INF = jnp.float32(jnp.inf)
 
 
 class KNNResult(NamedTuple):

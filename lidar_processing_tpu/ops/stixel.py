@@ -25,9 +25,9 @@ small contracted graph for label propagation. Measured cost model
      edges. ~16k cells contract to ~7k supernodes on KITTI frames.
   4. Inter-column candidate pairs come from ONE small sort-merge: column
      keys + 12 symmetric xy-offsets (the 5x5 window half), ~90k probe rows.
-     Matched column pairs expand to supernode pairs (8x8 static expansion
-     for the rare multi-supernode columns; <=8 supernodes/column holds
-     whenever <=15 occupied z-cells/column, checked by a counter).
+     Matched column pairs expand to supernode pairs (tiered static
+     expansion up to 16x16 for the rare multi-supernode columns — KITTI
+     peaks at 9 supernodes/column; a counter fires past 16).
   5. Every candidate pair is classified with per-supernode AABB + first-
      point data fetched as ONE coalesced row gather: AABB gap > R =>
      impossible; first-point distance <= R => certain edge; else the pair
@@ -77,11 +77,12 @@ _XY_OFFSETS = [(0, 1), (0, 2), (1, -2), (1, -1), (1, 0), (1, 1), (1, 2),
 # larger than the top cap are split into 256-point sub-pair chunks inside
 # _tiered_exact (8x8 grid => sides up to 2048 points; beyond that the
 # overflow counter fires). Slots are sized to measured KITTI occupancy
-# (intra max 2047/264/71, supernode-pair max 12652/2271/1616 over the
-# sequence) with >=1.8x headroom; static slot count is linear cost, so
+# (tools/measure_caps.py maxima over all 154 frames: intra 2142/292/85,
+# supernode-pair 12652/2453/1891, 452 chunked) with >=1.3x headroom;
+# static slot count is linear cost on TPU whether occupied or not, so
 # right-sizing matters. Overflow counters fire if a frame ever exceeds.
-_TIERS_INTRA = ((32, 4096), (128, 1024), (256, 512))
-_TIERS_SNP = ((32, 24576), (128, 4096), (256, 3072))
+_TIERS_INTRA = ((32, 4096), (128, 512), (256, 256))
+_TIERS_SNP = ((32, 16384), (128, 4096), (256, 3072))
 _CHUNK = 256
 _CHUNK_GRID = 8
 _CHUNK_PAIRS = 768    # compacted oversized-pair slots (measured max 360)
@@ -153,9 +154,15 @@ def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
     new_col = valid & (colkey != prev_col)
     col_id = jnp.cumsum(new_col.astype(jnp.int32)) - 1
 
-    # run aggregates via one reverse scan pack: min xyz / -max xyz / min orig
+    # run aggregates via one reverse scan pack: min xyz / -max xyz / min orig.
+    # Padding rows keep the LAST valid cell's id (cumsum doesn't advance),
+    # so they must be masked out or the last cell's aggregates absorb
+    # arbitrary non-obstacle points (wrong min_orig => wrong canonical
+    # cluster numbering — bit-exactness bug found by the 154-frame golden
+    # run on frames 28/44/110/112/116).
     pack = jnp.concatenate(
         [sp.xyz, -sp.xyz, sp.orig[:, None].astype(jnp.float32)], axis=1)
+    pack = jnp.where(valid[:, None], pack, _F_BIG)
     agg = seg_scan_min(pack, cell_id, reverse=True)   # value at run start
 
     starts = run_starts(new_cell, cell_id, m)         # (M,)
@@ -538,7 +545,7 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
                             sn_of_cell[jnp.clip(col_last_cell, 0, m - 1)], -1)
     col_sn_count = jnp.where(col_valid, col_last_sn - col_first_sn + 1, 0)
     overflow = overflow + jnp.maximum(n_cols - c_cap, 0)
-    overflow = overflow + jnp.sum((col_sn_count > 8).astype(jnp.int32))
+    overflow = overflow + jnp.sum((col_sn_count > 16).astype(jnp.int32))
 
     u_col, v_col, n_cpairs, ovf_cp = _column_pairs(col_key, n_cols, pcfg)
     overflow = overflow + ovf_cp
@@ -573,17 +580,20 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
                ).reshape(-1)
         return eu, ev, eok, ovf
 
-    # three-level multi-supernode expansion, sized for measured KITTI
-    # loads (~7k 2-supernode pairs, ~2k deeper, a handful past 4)
+    # four-level multi-supernode expansion, sized for measured KITTI loads
+    # (~7k 2-supernode pairs, ~2k at 3-4, hundreds at 5-8 in the dense
+    # mid-sequence frames, and a handful past 8 — columns peak at 10
+    # supernodes on frame 95; the counter above fires past 16)
     mx = jnp.maximum(cA, cB)
     e1u, e1v, e1ok, ovf1 = expand(cp_valid & (mx == 2), 16384, 2)
     e2u, e2v, e2ok, ovf2 = expand(cp_valid & (mx > 2) & (mx <= 4), 4096, 4)
-    e3u, e3v, e3ok, ovf3 = expand(cp_valid & (mx > 4), 512, 8)
-    overflow = overflow + ovf1 + ovf2 + ovf3
+    e3u, e3v, e3ok, ovf3 = expand(cp_valid & (mx > 4) & (mx <= 8), 512, 8)
+    e4u, e4v, e4ok, ovf4 = expand(cp_valid & (mx > 8), 64, 16)
+    overflow = overflow + ovf1 + ovf2 + ovf3 + ovf4
     # assemble supernode pair list: primaries first, then expansions
-    all_u = jnp.concatenate([prim_u, e1u, e2u, e3u])
-    all_v = jnp.concatenate([prim_v, e1v, e2v, e3v])
-    all_ok = jnp.concatenate([prim_ok, e1ok, e2ok, e3ok])
+    all_u = jnp.concatenate([prim_u, e1u, e2u, e3u, e4u])
+    all_v = jnp.concatenate([prim_v, e1v, e2v, e3v, e4v])
+    all_ok = jnp.concatenate([prim_ok, e1ok, e2ok, e3ok, e4ok])
     pidx, n_snp, ovf_p = compact_mask(all_ok, snp)
     overflow = overflow + ovf_p
     snp_valid = jnp.arange(snp, dtype=jnp.int32) < n_snp

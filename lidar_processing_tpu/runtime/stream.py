@@ -45,6 +45,12 @@ class FrameMetrics:
     num_outlines: int
     overflow: int
     deadline_missed: bool     # frame exceeded the replay period
+    # per-stage device times (stage_timing=True only; mirrors the
+    # reference's separate seg/cluster/polygonize logs,
+    # ref: src/processor.cpp:167-168,204-205,218-219)
+    t_seg_ms: Optional[float] = None
+    t_cluster_ms: Optional[float] = None
+    t_hull_ms: Optional[float] = None
 
 
 class ReplayStream:
@@ -81,20 +87,48 @@ class ReplayStream:
                                      self.mask[frame_idx], cfg)
 
         self._step = _step
+        self._stage_fns = None
 
     def warmup(self) -> None:
         jax.block_until_ready(self._step(jnp.int32(0)))
 
+    def _build_stage_fns(self):
+        """Separate jits per stage for synchronous per-stage timing —
+        the reference times each stage in its callback the same way
+        (ref: src/processor.cpp:148-219)."""
+        from ..ops import stixel as _stixel
+        from ..ops.segmentation import gpf_segment
+        from ..types import SEG_OBSTACLE
+        cfg = self.config
+
+        @jax.jit
+        def _seg(frame_idx):
+            xyz = self.xyz[frame_idx]
+            mask = self.mask[frame_idx]
+            seg = gpf_segment(xyz, mask, cfg.segmentation)
+            return seg, mask & (seg.labels == SEG_OBSTACLE)
+
+        @jax.jit
+        def _cluster(frame_idx, obstacle):
+            return _stixel.cluster(self.xyz[frame_idx], obstacle,
+                                   cfg.clustering, cfg.pipeline)
+
+        self._stage_fns = (_seg, _cluster)
+
     def run(self, num_frames: int, realtime: bool = False,
-            with_outlines: bool = True):
+            with_outlines: bool = True, stage_timing: bool = False):
         """Yield (FrameOutputs, FrameMetrics) for `num_frames` frames.
 
         realtime=True paces dispatch at replay_rate_hz and flags deadline
         misses (the reference's 100 ms budget, ref: README.md:4).
+        stage_timing=True times segmentation/clustering/hulls separately
+        (synchronously — lower throughput, richer metrics).
         """
         period = 1.0 / self.config.pipeline.replay_rate_hz
         self.warmup()
-        inflight: List = []   # (frame_id, dispatch_time, FrameResult)
+        if stage_timing and self._stage_fns is None:
+            self._build_stage_fns()
+        inflight: List = []   # (frame_id, dispatch_time, FrameResult, stages)
         depth = self.config.pipeline.queue_depth
         next_t = time.perf_counter()
 
@@ -106,8 +140,17 @@ class ReplayStream:
                     time.sleep(next_t - now)
                 next_t += period
             t0 = time.perf_counter()
+            stages = None
+            if stage_timing:
+                seg_fn, cl_fn = self._stage_fns
+                idx = jnp.int32(fid)
+                _, obstacle = jax.block_until_ready(seg_fn(idx))
+                t_seg = time.perf_counter()
+                jax.block_until_ready(cl_fn(idx, obstacle))
+                t_cl = time.perf_counter()
+                stages = (t_seg - t0, t_cl - t_seg)
             fr = self._step(jnp.int32(fid))
-            inflight.append((fid, t0, fr))
+            inflight.append((fid, t0, fr, stages))
             # bounded window: consume oldest once the queue is full
             while len(inflight) > depth:
                 yield self._consume(inflight.pop(0), period,
@@ -116,7 +159,7 @@ class ReplayStream:
             yield self._consume(inflight.pop(0), period, with_outlines)
 
     def _consume(self, item, period: float, with_outlines: bool):
-        fid, t0, fr = item
+        fid, t0, fr, stages = item
         jax.block_until_ready(fr.clustering.labels)
         t1 = time.perf_counter()
         n = int(self.counts[fid])
@@ -128,10 +171,19 @@ class ReplayStream:
                 cluster_labels=np.asarray(fr.clustering.labels)[:n],
                 num_clusters=int(fr.clustering.num_clusters),
                 outlines=[],
+                outline_cluster_ids=[],
                 overflow=int(fr.clustering.overflow),
             )
         t2 = time.perf_counter()
         seg = out.seg_labels
+        t_seg = t_cl = t_hull = None
+        if stages is not None:
+            t_seg = stages[0] * 1e3
+            t_cl = stages[1] * 1e3
+            # hull stage = full-step completion minus the timed prefix
+            # stages (the full step recomputes seg+cluster; its marginal
+            # hull cost is the remainder of the dispatch window)
+            t_hull = max(0.0, (t1 - t0) * 1e3 - t_seg - t_cl)
         metrics = FrameMetrics(
             frame_id=fid,
             t_dispatch_ms=(t1 - t0) * 1e3,
@@ -142,5 +194,6 @@ class ReplayStream:
             num_outlines=len(out.outlines),
             overflow=out.overflow,
             deadline_missed=(t1 - t0) > period,
+            t_seg_ms=t_seg, t_cluster_ms=t_cl, t_hull_ms=t_hull,
         )
         return out, metrics

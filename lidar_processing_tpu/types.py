@@ -89,9 +89,14 @@ class ClusteringResult(NamedTuple):
             ordered by each cluster's minimum point index (the reference's BFS
             seed order, ref: src/clustering.cpp:70-124).
     num_clusters: () int32
-    overflow: () int32 — number of voxel cells whose occupancy exceeded the
-            static cell capacity (0 on the bundled dataset; nonzero means the
-            neighbor graph may be missing edges and capacity must be raised).
+    overflow: () int32 — static-capacity violations (cells, candidate
+            pairs, tier slots, ...). Nonzero means the neighbor graph may
+            be missing edges and the relevant cap must be raised. The
+            default "stixel" backend measures 0 across all 154 bundled
+            frames (tools/golden_run.py); the cross-validation "cellgraph"
+            backend needs larger caps than the defaults on dense frames
+            (up to 1726 on this dataset) and is exact only when its
+            reported overflow is 0.
     """
 
     labels: jnp.ndarray

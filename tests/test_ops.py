@@ -107,6 +107,32 @@ class TestClusteringOp:
                       cfg.clustering, cfg.pipeline)
         assert np.all(np.asarray(res.labels)[50:] == CLUSTER_UNDEFINED)
 
+    def test_invalid_point_does_not_corrupt_numbering(self, backend):
+        """Regression: padding/invalid rows inherit the LAST cell's id in
+        the sorted buffer; their original indices must not leak into that
+        cell's min_orig or the canonical numbering flips (seen on KITTI
+        frames 28/44/110/112/116 in the 154-frame golden run)."""
+        cluster = _cluster_fn(backend)
+        cfg = small_cfg(max_points=64)
+        xyz = np.zeros((64, 3), np.float32)
+        mask = np.zeros(64, bool)
+        # index 0: an INVALID point (e.g. ground) with the smallest orig idx
+        xyz[0] = [50.0, 0, 0]
+        # cluster A: orig 1..4 at x=0; cluster B: orig 5..8 at large x
+        # (B sorts last, so padding rows attach to B's final cell)
+        for i in range(1, 5):
+            xyz[i] = [0.0, 0.05 * i, 0]
+        for i in range(5, 9):
+            xyz[i] = [80.0, 0.05 * i, 0]
+        mask[1:9] = True
+        res = cluster(jnp.asarray(xyz), jnp.asarray(mask),
+                      cfg.clustering, cfg.pipeline)
+        lab = np.asarray(res.labels)
+        assert int(res.num_clusters) == 2
+        # canonical numbering by min ORIGINAL index: A (min 1) before B (5)
+        assert np.all(lab[1:5] == 0), lab[:9]
+        assert np.all(lab[5:9] == 1), lab[:9]
+
     def test_size_filter(self, backend):
         cluster = _cluster_fn(backend)
         cfg = small_cfg(max_points=256)
