@@ -67,13 +67,12 @@ def label_runs(xyz: jnp.ndarray, labels: jnp.ndarray,
     n = xyz.shape[0]
     valid = (labels >= 0) & (labels < num_slots)
     key = jnp.where(valid, labels, num_slots)
-    _, sx_, sy_, sz_ = jax.lax.sort(
+    skey, sx_, sy_, sz_ = jax.lax.sort(
         (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
     sorted_xyz = jnp.stack([sx_, sy_, sz_], axis=1)
     counts = jax.ops.segment_sum(
         valid.astype(jnp.int32), jnp.where(valid, labels, num_slots),
         num_segments=num_slots + 1)[:num_slots]
-    skey = jax.lax.sort(key)
     starts = jnp.searchsorted(
         skey, jnp.arange(num_slots, dtype=jnp.int32)).astype(jnp.int32)
     num = jnp.max(jnp.where(labels >= 0, labels, -1)) + 1

@@ -138,9 +138,15 @@ def gpf_segment(
     num_p = cfg.number_of_planar_partitions
     n_pts = xyz.shape[0]
 
+    # one multi-operand sort carries the coordinates along with the key, so
+    # no (N,3) random gather is needed to build the sorted cloud (argsort +
+    # xyz[order] costs a full-cloud gather; lax.sort streams). Stable sort on
+    # the key keeps tie order identical to the stable argsort it replaces.
     sort_key = jnp.where(mask, xyz[:, 0], _BIG)
-    order = jnp.argsort(sort_key)          # valid points occupy ranks [0, n)
-    sp = xyz[order]
+    _, sx_, sy_, sz_, order = jax.lax.sort(
+        (sort_key, xyz[:, 0], xyz[:, 1], xyz[:, 2],
+         jnp.arange(n_pts, dtype=jnp.int32)), num_keys=1)
+    sp = jnp.stack([sx_, sy_, sz_], axis=1)  # valid points occupy ranks [0, n)
 
     n_valid = jnp.sum(mask.astype(jnp.int32))
     per_seg = n_valid // num_p

@@ -703,6 +703,7 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
         jnp.where(pt_valid, sp.orig, n)].set(pt_label, mode="drop")
     debug = dict(
         sp=sp, cells=cells, cell_id_pt=cell_id_pt, link1=link1, link2=link2,
+        intra_tests1=intra_tests[0], intra_tests2=intra_tests[1],
         sn=sn, sn_of_cell=sn_of_cell, col_first_sn=col_first_sn,
         col_sn_count=col_sn_count, u_col=u_col, v_col=v_col,
         n_cpairs=n_cpairs, pu=pu, pv=pv, n_snp=n_snp,
