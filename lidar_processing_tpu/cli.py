@@ -57,7 +57,8 @@ def _cmd_run(args) -> int:
             xyz, _ = load_frame(paths_all[fid])
             paths = export_frame(args.export_dir, fid, xyz,
                                  out.seg_labels, out.cluster_labels,
-                                 out.outlines, out.outline_cluster_ids)
+                                 out.outlines, out.outline_cluster_ids,
+                                 out.outline_z_extents)
             print(f"  exported: {', '.join(paths)}")
 
     print(f"\n{n} frames: dispatch p50={np.percentile(disp, 50):.2f}ms "

@@ -89,18 +89,19 @@ class PipelineConfig:
     # Voxel-grid clustering capacities (checked at runtime; an overflow
     # counter is reported so tests can assert sufficiency on the dataset).
     cell_capacity: int = 64          # points per cell in ambiguous-pair checks
-    max_cells: int = 24576           # occupied-cell slots (measured 16,529)
+    max_cells: int = 20480           # occupied-cell slots (measured 16,529)
     max_ambiguous_pairs: int = 131072  # ambiguous cell-pair slots (~56k/frame)
     # Stixel-clustering capacities (ops/stixel.py). Sized from the measured
     # maxima over ALL 154 bundled frames (tools/measure_caps.py, noted in
     # parentheses) with >=1.2x headroom; static caps are linear cost on TPU
     # whether occupied or not, and every violation raises overflow.
     max_obstacle_points: int = 81920   # compacted obstacle buffer (67,816)
-    max_columns: int = 12288           # occupied xy columns (6,902)
-    max_supernodes: int = 12288        # stixels (8,459)
-    max_column_pairs: int = 49152      # 12-offset column adjacencies (33,782)
+    max_columns: int = 8192            # occupied xy columns (6,902)
+    max_supernodes: int = 10240        # stixels (8,459)
+    max_column_pairs: int = 40960      # 12-offset column adjacencies (33,782)
     max_sn_pairs: int = 65536          # supernode candidate pairs (58,542)
-    max_live_edges: int = 12288        # live edges after CC round 1 (6,599)
+    max_edges: int = 32768             # verified radius-graph edges (20,952)
+    max_live_edges: int = 8192         # spatial-sharding merge edges (6,599)
     replay_rate_hz: float = 10.0         # ref: src/dataloader.cpp:30
     queue_depth: int = 2                 # DDS QoS keep-last depth (processor.cpp:69)
     # Clustering backend: "stixel" (ops/stixel.py, sort/scan-based — the
@@ -129,6 +130,7 @@ class SpatialConfig:
     block_supernodes: int = 12288
     block_column_pairs: int = 32768
     block_sn_pairs: int = 32768
+    block_edges: int = 16384
     block_live_edges: int = 8192
 
 

@@ -64,7 +64,8 @@ def cluster_colors(labels: np.ndarray) -> np.ndarray:
 def export_frame(out_dir: str, frame_id: int, xyz: np.ndarray,
                  seg_labels: np.ndarray, cluster_labels: np.ndarray,
                  outlines: List[np.ndarray],
-                 outline_cluster_ids: Optional[List[int]] = None) -> List[str]:
+                 outline_cluster_ids: Optional[List[int]] = None,
+                 outline_z_extents: Optional[List[tuple]] = None) -> List[str]:
     """Write the four per-frame visualization artifacts; returns paths."""
     os.makedirs(out_dir, exist_ok=True)
     tag = f"frame_{frame_id:04d}"
@@ -90,12 +91,16 @@ def export_frame(out_dir: str, frame_id: int, xyz: np.ndarray,
 
     ids = (outline_cluster_ids if outline_cluster_ids is not None
            else list(range(len(outlines))))
+    zex = (outline_z_extents if outline_z_extents is not None
+           else [(0.0, 0.0)] * len(outlines))
     polys = [
         {"cluster_id": int(cid),
          # closed: repeat the first vertex, like the reference's markers
          # (ref: src/conversions.hpp:117)
-         "vertices": np.concatenate([o, o[:1]]).tolist()}
-        for cid, o in zip(ids, outlines) if len(o)
+         "vertices": np.concatenate([o, o[:1]]).tolist(),
+         # 2.5-D extent (ref: src/polygonization.hpp:35-49 PointXYdZ)
+         "z_min": float(ze[0]), "z_max": float(ze[1])}
+        for cid, o, ze in zip(ids, outlines, zex) if len(o)
     ]
     p = os.path.join(out_dir, f"{tag}_polygons.json")
     with open(p, "w") as f:

@@ -72,6 +72,110 @@ std::vector<int32_t> convex_hull_impl(const float* pts, int32_t n) {
 }
 
 // ---------------------------------------------------------------------------
+// Chan's O(n log h) convex hull (ref behavior: the reference routes
+// >1000-point clusters to Chan's algorithm in its Convex-Hull submodule,
+// polygon_simplification.cpp:53-63). Classic rounds with m = 2^(2^t):
+// partition into ceil(n/m) groups, monotone-chain each mini-hull, then
+// Jarvis-march across the mini-hulls' tangent candidates, aborting the
+// round when the march exceeds m steps. Identical output to
+// convex_hull_impl (CCW, strictly convex) — property-tested in
+// tests/test_native.py.
+// ---------------------------------------------------------------------------
+
+// Comparator for the Jarvis march from hull point p (CCW, strict):
+// returns true when candidate b beats candidate a (b is strictly right of
+// p->a, or collinear and farther).
+inline bool wrap_better(const P2& p, const P2& a, const P2& b) {
+  double c = cross(p, a, b);
+  if (c < 0) return true;
+  if (c > 0) return false;
+  double da = (a.x - p.x) * (a.x - p.x) + (a.y - p.y) * (a.y - p.y);
+  double db = (b.x - p.x) * (b.x - p.x) + (b.y - p.y) * (b.y - p.y);
+  return db > da;
+}
+
+// Tangent from external point p to the CCW strictly-convex polygon
+// poly[0..k): the vertex t such that every vertex is left of (or behind on)
+// the ray p->t under wrap_better's ordering. Linear scan over the
+// mini-hull vertices: the march then costs O(h * sum |mini-hull|), still
+// output-sensitive through the m-doubling rounds (binary-search tangents
+// would recover the full O(n log h) bound, but the live path's clusters
+// are <= a few thousand points and exact tie handling dominates the risk).
+inline int32_t tangent_index(const P2& p, const std::vector<P2>& poly) {
+  int32_t k = static_cast<int32_t>(poly.size());
+  int32_t best = 0;
+  for (int32_t i = 1; i < k; ++i) {
+    if (wrap_better(p, poly[best], poly[i])) best = i;
+  }
+  return best;
+}
+
+std::vector<int32_t> chan_hull_impl(const float* pts, int32_t n) {
+  auto at = [&](int32_t i) {
+    return P2{static_cast<double>(pts[2 * i]),
+              static_cast<double>(pts[2 * i + 1])};
+  };
+  // start vertex: lexicographic (x, y) minimum — on every convex hull and
+  // the first vertex monotone chain visits
+  int32_t start = 0;
+  for (int32_t i = 1; i < n; ++i) {
+    P2 a = at(i), b = at(start);
+    if (a.x < b.x || (a.x == b.x && a.y < b.y)) start = i;
+  }
+
+  for (int64_t m = 16; ; m = std::min<int64_t>(
+           static_cast<int64_t>(n), m * m)) {
+    // group mini-hulls of <= m points each
+    int32_t n_groups = static_cast<int32_t>((n + m - 1) / m);
+    std::vector<std::vector<int32_t>> gh(n_groups);   // hull indices
+    std::vector<std::vector<P2>> gp(n_groups);        // hull coordinates
+    std::vector<float> buf;
+    for (int32_t g = 0; g < n_groups; ++g) {
+      int32_t lo = static_cast<int32_t>(g * m);
+      int32_t cnt = std::min<int32_t>(static_cast<int32_t>(m), n - lo);
+      buf.assign(pts + 2 * lo, pts + 2 * (lo + cnt));
+      gh[g] = convex_hull_impl(buf.data(), cnt);
+      for (int32_t& idx : gh[g]) idx += lo;
+      gp[g].reserve(gh[g].size());
+      for (int32_t idx : gh[g]) gp[g].push_back(at(idx));
+    }
+
+    std::vector<int32_t> hull;
+    int32_t cur = start;
+    bool ok = false;
+    for (int64_t step = 0; step < m; ++step) {
+      hull.push_back(cur);
+      P2 p = at(cur);
+      int32_t best = -1;
+      for (int32_t g = 0; g < n_groups; ++g) {
+        if (gp[g].empty()) continue;
+        int32_t t;
+        int32_t k = static_cast<int32_t>(gp[g].size());
+        // p may be a vertex of its own group's mini-hull: its tangent is
+        // simply the next CCW vertex there
+        int32_t self = -1;
+        for (int32_t i = 0; i < k; ++i) {
+          if (gh[g][i] == cur) { self = i; break; }
+        }
+        if (self >= 0) {
+          if (k == 1) continue;
+          t = (self + 1) % k;
+        } else {
+          t = tangent_index(p, gp[g]);
+          if (gh[g][t] == cur) continue;
+        }
+        int32_t cand = gh[g][t];
+        if (best < 0 || wrap_better(p, at(best), at(cand))) best = cand;
+      }
+      if (best < 0 || best == start) { ok = true; break; }
+      cur = best;
+    }
+    if (ok) return hull;
+    if (m >= n) return convex_hull_impl(pts, n);  // unreachable safety net
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Delaunay triangulation: Bowyer-Watson with a single ghost vertex at
 // infinity (Shewchuk-style) and walk-based point location. Triangles store
 // vertex indices and neighbor triangle ids; ghost triangles (one vertex ==
@@ -466,6 +570,18 @@ extern "C" {
 int32_t convex_hull(const float* pts, int32_t n, int32_t* out, int32_t cap) {
   if (n <= 0) return 0;
   auto h = convex_hull_impl(pts, n);
+  if (static_cast<int32_t>(h.size()) > cap) return -1;
+  std::memcpy(out, h.data(), h.size() * sizeof(int32_t));
+  return static_cast<int32_t>(h.size());
+}
+
+// CCW strictly-convex hull indices via Chan's grouped march (the
+// reference's >1000-point convex path, polygon_simplification.cpp:53-63).
+// Returns count, or -1 if cap too small.
+int32_t chan_convex_hull(const float* pts, int32_t n, int32_t* out,
+                         int32_t cap) {
+  if (n <= 0) return 0;
+  auto h = chan_hull_impl(pts, n);
   if (static_cast<int32_t>(h.size()) > cap) return -1;
   std::memcpy(out, h.data(), h.size() * sizeof(int32_t));
   return static_cast<int32_t>(h.size());

@@ -70,11 +70,12 @@ def label_runs(xyz: jnp.ndarray, labels: jnp.ndarray,
     skey, sx_, sy_, sz_ = jax.lax.sort(
         (key, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
     sorted_xyz = jnp.stack([sx_, sy_, sz_], axis=1)
-    counts = jax.ops.segment_sum(
-        valid.astype(jnp.int32), jnp.where(valid, labels, num_slots),
-        num_segments=num_slots + 1)[:num_slots]
-    starts = jnp.searchsorted(
-        skey, jnp.arange(num_slots, dtype=jnp.int32)).astype(jnp.int32)
+    # starts AND counts from one searchsorted over the sorted keys (no
+    # full-cloud scatter: counts[c] = starts[c+1] - starts[c])
+    edges = jnp.searchsorted(
+        skey, jnp.arange(num_slots + 1, dtype=jnp.int32)).astype(jnp.int32)
+    starts = edges[:num_slots]
+    counts = edges[1:] - starts
     num = jnp.max(jnp.where(labels >= 0, labels, -1)) + 1
     overflow = jnp.sum((labels >= num_slots).astype(jnp.int32))
     return LabelRuns(sorted_xyz, starts, counts,

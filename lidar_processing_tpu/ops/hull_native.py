@@ -40,6 +40,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
+        lib.chan_convex_hull.restype = ctypes.c_int32
+        lib.chan_convex_hull.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
         lib.union_find_cc.restype = None
         lib.union_find_cc.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -66,14 +71,22 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def convex_hull_indices(points: np.ndarray) -> np.ndarray:
-    """CCW strictly-convex hull indices (native if available)."""
+def convex_hull_indices(points: np.ndarray,
+                        algorithm: str = "monotone") -> np.ndarray:
+    """CCW strictly-convex hull indices (native if available).
+
+    algorithm: "monotone" (Andrew chain) or "chan" (Chan's grouped march —
+    the reference routes >1000-point clusters to Chan,
+    ref: src/polygon_simplification.cpp:53-63). Both produce identical
+    hulls; the Python fallback is always the monotone-chain oracle.
+    """
     lib = _load()
     pts = np.ascontiguousarray(points[:, :2], np.float32)
     n = pts.shape[0]
     if lib is not None and n >= 1:
         out = np.empty(n + 1, np.int32)
-        k = lib.convex_hull(
+        fn = lib.chan_convex_hull if algorithm == "chan" else lib.convex_hull
+        k = fn(
             pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.shape[0])
         if k >= 0:

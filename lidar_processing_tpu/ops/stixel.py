@@ -55,9 +55,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ClusteringConfig, PipelineConfig
+from ..kernels import union_find as uf
 from ..types import CLUSTER_INVALID, CLUSTER_UNDEFINED, ClusteringResult
-from .scan_utils import (compact_mask, run_starts, seg_broadcast_first,
-                         seg_scan_max, seg_scan_min)
+from .scan_utils import compact_mask, run_starts, seg_broadcast_first
 
 _IMAX = jnp.int32(jnp.iinfo(jnp.int32).max)
 _F_BIG = jnp.float32(1.0e9)
@@ -73,23 +73,35 @@ _GZ = 128
 _XY_OFFSETS = [(0, 1), (0, 2), (1, -2), (1, -1), (1, 0), (1, 1), (1, 2),
                (2, -2), (2, -1), (2, 0), (2, 1), (2, 2)]
 
-# exact-test tiers: (points-per-side cap, pair slots). Pairs with a side
-# larger than the top cap are split into 256-point sub-pair chunks inside
-# _tiered_exact (8x8 grid => sides up to 2048 points; beyond that the
-# overflow counter fires). Slots are sized to measured KITTI occupancy
-# (tools/measure_caps.py maxima over all 154 frames: intra 2142/292/85,
-# supernode-pair 12652/2453/1891, 452 chunked) with >=1.3x headroom;
-# static slot count is linear cost on TPU whether occupied or not, so
-# right-sizing matters. Overflow counters fire if a frame ever exceeds.
-_TIERS_INTRA = ((32, 4096), (128, 512), (256, 256))
-_TIERS_SNP = ((32, 16384), (128, 4096), (256, 3072))
-_CHUNK = 256
+# exact-test tiers: (u-side cap, v-side cap, pair slots), first-fit in
+# order, with every pair ORIENTED so u is the smaller side. The cost model
+# behind the shapes (tools/micro_perf.py + tools/tier_hist.py):
+#   * VPU cost per tier = slots x Wu x 128: the lane dim pads to 128
+#     whatever Wv <= 96+32 is, so v chunks at 96 (window exactly 128 lanes)
+#     and ALL the tier shaping goes into the sublane dim Wu — hence the
+#     orientation (min side -> sublanes, 8-granular).
+#   * gather cost is ~15-20 ns per ROW regardless of width, so windows are
+#     fetched as stacked xyz superrows (one gather, 3 coordinates wide) and
+#     the u side uses 8-point superrows (2 rows for the dominant <=8 tier).
+#   * slots are sized to tools/tier_hist.py maxima with headroom; every
+#     violation raises the overflow counter (never a silent wrong verdict).
+# Pairs with a side beyond 288 split into 288-point sub-pair chunks (8x8
+# grid => sides up to 2304 points; beyond that overflow fires).
+_TIERS_INTRA = ((8, 32, 2560), (8, 96, 128), (32, 96, 1024),
+                (96, 96, 256), (96, 288, 128), (288, 288, 128))
+_TIERS_SNP = ((8, 32, 12288), (8, 96, 1536), (32, 96, 3584),
+              (96, 96, 512), (96, 288, 2048), (288, 288, 768))
+_CHUNK = 288
 _CHUNK_GRID = 8
-_CHUNK_PAIRS = 768    # compacted oversized-pair slots (measured max 360)
+# compacted oversized-pair slots per call (154-frame maxima: 18 intra /
+# 433 snp sub-chunked pairs)
+_CHUNK_PAIRS_INTRA = 64
+_CHUNK_PAIRS_SNP = 512
 
-# superrow width for run gathers: points are fetched as whole 32-point
-# superrows (384 B — full HBM transactions, ~32x the lane utilization of
-# 12 B row gathers) and realigned by masking on the VPU, which is free.
+# superrow width for run gathers: points are fetched as whole superrows
+# (full HBM transactions) and realigned by masking on the VPU, which is
+# free. 32-point superrows for general use; the tiered window gathers use
+# finer 8-point superrows on the u side (see _stacked_windows).
 _SR = 32
 
 
@@ -154,16 +166,19 @@ def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
     new_col = valid & (colkey != prev_col)
     col_id = jnp.cumsum(new_col.astype(jnp.int32)) - 1
 
-    # run aggregates via one reverse scan pack: min xyz / -max xyz / min orig.
-    # Padding rows keep the LAST valid cell's id (cumsum doesn't advance),
-    # so they must be masked out or the last cell's aggregates absorb
+    # run aggregates via ONE scatter-min into the cell table: min xyz /
+    # -max xyz / min orig (measured faster than the reverse segmented scan
+    # + row gather it replaces — tools/micro_perf.py F vs F2). Padding rows
+    # keep the LAST valid cell's id (cumsum doesn't advance), so they must
+    # be masked out of the scatter or the last cell's aggregates absorb
     # arbitrary non-obstacle points (wrong min_orig => wrong canonical
     # cluster numbering — bit-exactness bug found by the 154-frame golden
     # run on frames 28/44/110/112/116).
     pack = jnp.concatenate(
         [sp.xyz, -sp.xyz, sp.orig[:, None].astype(jnp.float32)], axis=1)
-    pack = jnp.where(valid[:, None], pack, _F_BIG)
-    agg = seg_scan_min(pack, cell_id, reverse=True)   # value at run start
+    tgt = jnp.where(valid, cell_id, m)
+    agg_c = jnp.full((m, 7), _F_BIG, jnp.float32).at[tgt].min(
+        pack, mode="drop")                            # (M,7)
 
     starts = run_starts(new_cell, cell_id, m)         # (M,)
     slot_valid = jnp.arange(m, dtype=jnp.int32) < n_cells
@@ -177,7 +192,6 @@ def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
 
     cell_key = jnp.where(slot_valid, sp.key[start_c], _IMAX)
     cell_col = jnp.where(slot_valid, col_id[start_c], _IMAX)
-    agg_c = agg[start_c]                              # (M,7) coalesced rows
     aabb = jnp.concatenate([agg_c[:, 0:3], -agg_c[:, 3:6]], axis=1)
     min_orig = jnp.where(slot_valid, agg_c[:, 6].astype(jnp.int32), _IMAX)
     overflow = jnp.maximum(n_cells - m, 0)
@@ -186,45 +200,49 @@ def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
     return tbl, cell_id, col_id
 
 
-def _wide_block_planar(planes, starts, counts, fill, width: int):
-    """Gather contiguous point runs via whole superrows, one plane per axis.
+def _stacked_windows(sp_xyz, starts, counts, fill, cap: int, sr: int):
+    """Gather contiguous runs as stacked-xyz superrows of width `sr`.
 
-    planes: 3-tuple of (no/_SR, _SR) f32 — the sorted x/y/z coordinates
-    viewed as 32-point superrows. Returns three (P, width + _SR) windows:
-    the run [starts, starts+counts) realigned by masking (invalid lanes =
-    fill). Fetching whole 128 B superrows instead of 12 B point rows keeps
-    HBM transactions full; the <= 31-lane overfetch is masked on the VPU
-    for free. The planar layout feeds kernels.min_d2 directly.
+    Returns three (P, cap + sr) planar windows (x, y, z) covering
+    [starts, starts + min(counts, cap)) with invalid lanes = fill. ONE row
+    gather fetches all three coordinates (rows of the (no//sr, 3*sr)
+    stacked view) — gather cost is per ROW (~15-20 ns) regardless of row
+    width, so stacking is ~3x cheaper than per-plane gathers. `sr` = 8 for
+    small windows (u side), 32 for wide ones (v side).
     """
-    nsr = planes[0].shape[0]
-    nrow = width // _SR + 1
-    sr0 = starts // _SR
+    no = sp_xyz.shape[0]
+    assert cap % sr == 0
+    view = jnp.concatenate(
+        [sp_xyz[:, a].reshape(no // sr, sr) for a in range(3)], axis=1)
+    width = cap + sr
+    nrow = width // sr
+    sr0 = starts // sr
     j = jnp.arange(nrow, dtype=jnp.int32)
-    ridx = jnp.clip(sr0[:, None] + j[None, :], 0, nsr - 1)
-    off = (starts - sr0 * _SR)[:, None]                 # 0.._SR-1
-    aw = jnp.arange(nrow * _SR, dtype=jnp.int32)[None, :]
-    ok = (aw >= off) & (aw < off + jnp.minimum(counts, width)[:, None])
+    ridx = jnp.clip(sr0[:, None] + j[None, :], 0, no // sr - 1)
+    rows = view[ridx]                                   # (P, nrow, 3*sr)
+    off = (starts - sr0 * sr)[:, None]
+    aw = jnp.arange(width, dtype=jnp.int32)[None, :]
+    ok = (aw >= off) & (aw < off + jnp.minimum(counts, cap)[:, None])
     p = starts.shape[0]
     return tuple(
-        jnp.where(ok, pln[ridx].reshape(p, nrow * _SR), fill)
-        for pln in planes)
+        jnp.where(ok, rows[:, :, a * sr:(a + 1) * sr].reshape(p, width),
+                  fill)
+        for a in range(3))
 
 
-def _block_min_d2(sp_xyz, u_start, u_count, v_start, v_count, cap: int):
+def _block_min_d2(sp_xyz, u_start, u_count, v_start, v_count,
+                  u_cap: int, v_cap: int, pu=None, dbg_win=None):
     """Exact min pairwise d² between contiguous point runs (batched).
 
-    All inputs (P,) int32; returns (P,) f32 min over the first `cap` points
-    of each side (counts beyond cap must be handled by the caller's tier
-    selection / overflow accounting). For large caps the v side is chunked
-    so the distance block stays bounded. Runs are fetched superrow-aligned
-    (see _wide_block_planar); the (P, Wu, Wv) distance block runs as a
-    Pallas kernel on TPU (VMEM-resident — see kernels/min_d2.py) and as an
-    XLA reduction elsewhere, with identical f32 math either way.
+    All index inputs (P,) int32; returns (P,) f32 min over the first u_cap /
+    v_cap points of each side (counts beyond the caps must be handled by the
+    caller's tier selection / overflow accounting). The u side is fetched at
+    8-point superrow granularity (small windows, sublane dim); the v side as
+    one wide 32-superrow window (lane dim). The (P, Wu, Wv) block runs as a
+    Pallas kernel on TPU (VMEM-resident, kernels/min_d2.py) and as an XLA
+    reduction elsewhere, identical f32 math either way.
     """
     from ..kernels.min_d2 import min_d2_planar, min_d2_planar_xla
-    no = sp_xyz.shape[0]
-    assert no % _SR == 0, "max_obstacle_points must be a multiple of 32"
-    planes = tuple(sp_xyz[:, a].reshape(no // _SR, _SR) for a in range(3))
 
     # Pallas on TPU, plain XLA elsewhere — selected at LOWERING time per
     # target platform (a CPU-mesh computation in a TPU-attached process
@@ -233,15 +251,15 @@ def _block_min_d2(sp_xyz, u_start, u_count, v_start, v_count, cap: int):
         return jax.lax.platform_dependent(
             *args, tpu=min_d2_planar, default=min_d2_planar_xla)
 
-    pu = _wide_block_planar(planes, u_start, u_count, _F_BIG, cap)
-    chunk = min(cap, 128)
-    best = jnp.full((u_start.shape[0],), 3.4e38, jnp.float32)
-    for off in range(0, cap, chunk):
-        # v-chunk = the sub-run [v_start+off, v_start+off+piece)
-        piece = jnp.clip(jnp.minimum(v_count, cap) - off, 0, chunk)
-        pv = _wide_block_planar(planes, v_start + off, piece, -_F_BIG, chunk)
-        best = jnp.minimum(best, min_d2(*pu, *pv))
-    return best
+    if pu is None:
+        pu = _stacked_windows(sp_xyz, u_start, u_count, _F_BIG, u_cap, sr=8)
+    # ONE wide v window + ONE kernel call per tier (the kernel's pair-block
+    # sizing keeps the (B, Wu, Wv) block within its VMEM budget); lane
+    # padding beyond 128 costs the same VPU time a chunked loop would.
+    pv = _stacked_windows(sp_xyz, v_start, v_count, -_F_BIG, v_cap, sr=32)
+    if dbg_win is not None:
+        dbg_win.append(sum(w.sum() for w in pv))
+    return min_d2(*pu, *pv)
 
 
 class _PairTest(NamedTuple):
@@ -256,20 +274,24 @@ class _PairTest(NamedTuple):
 
 
 def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int,
-                  tiers=_TIERS_SNP) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  tiers=_TIERS_SNP, chunk_pairs: int = _CHUNK_PAIRS_SNP
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run tiered block tests; scatter edge verdicts into (n_results,) bool.
 
-    Oversized pairs (a side beyond the top tier cap) are split into
+    Every pair is ORIENTED (u = smaller side) and assigned to the first
+    (u_cap, v_cap, slots) tier that fits — min-d² is symmetric, and the
+    orientation keeps the expensive sublane dim minimal (see tier table
+    comment). Oversized pairs (a side beyond _CHUNK) are split into
     _CHUNK-point sub-pair chunks whose verdicts OR into the original slot;
     sides beyond _CHUNK * _CHUNK_GRID points are counted in the returned
     overflow (verdict False — conservative, flagged).
     """
     maxc0 = jnp.maximum(pt.u_count, pt.v_count)
     big = pt.active & (maxc0 > _CHUNK)
-    bidx, n_big, ovf_b = compact_mask(big, _CHUNK_PAIRS)
-    bmask = jnp.arange(_CHUNK_PAIRS, dtype=jnp.int32) < n_big
+    bidx, n_big, ovf_b = compact_mask(big, chunk_pairs)
+    bmask = jnp.arange(chunk_pairs, dtype=jnp.int32) < n_big
     gch = jnp.arange(_CHUNK_GRID, dtype=jnp.int32) * _CHUNK
-    shp = (_CHUNK_PAIRS, _CHUNK_GRID, _CHUNK_GRID)
+    shp = (chunk_pairs, _CHUNK_GRID, _CHUNK_GRID)
 
     def grid(vals, axis):
         e = vals[:, None, :] if axis else vals[:, :, None]
@@ -285,39 +307,70 @@ def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int,
         slot=grid(jnp.broadcast_to(pt.slot[bidx][:, None], ch_uc2.shape), 0),
         active=(grid(jnp.broadcast_to(bmask[:, None], ch_uc2.shape), 0)
                 & (grid(ch_uc2, 0) > 0) & (grid(ch_vc2, 1) > 0)))
-    pt = _PairTest(
-        u_start=jnp.concatenate([pt.u_start, ch.u_start]),
-        u_count=jnp.concatenate([jnp.where(big, 0, pt.u_count), ch.u_count]),
-        v_start=jnp.concatenate([pt.v_start, ch.v_start]),
-        v_count=jnp.concatenate([jnp.where(big, 0, pt.v_count), ch.v_count]),
-        slot=jnp.concatenate([pt.slot, ch.slot]),
-        active=jnp.concatenate([pt.active & ~big, ch.active]))
+    us_ = jnp.concatenate([pt.u_start, ch.u_start])
+    uc_ = jnp.concatenate([jnp.where(big, 0, pt.u_count), ch.u_count])
+    vs_ = jnp.concatenate([pt.v_start, ch.v_start])
+    vc_ = jnp.concatenate([jnp.where(big, 0, pt.v_count), ch.v_count])
+    slot_ = jnp.concatenate([pt.slot, ch.slot])
+    act_ = jnp.concatenate([pt.active & ~big, ch.active])
 
-    maxc = jnp.maximum(pt.u_count, pt.v_count)
+    # orient every (possibly chunked) pair: u = smaller side
+    swap = uc_ > vc_
+    o_us = jnp.where(swap, vs_, us_)
+    o_uc = jnp.where(swap, vc_, uc_)
+    o_vs = jnp.where(swap, us_, vs_)
+    o_vc = jnp.where(swap, uc_, vc_)
+
+    # ---- sort-packed tier assignment -------------------------------------
+    # ONE multi-operand sort by first-fit tier id packs every tier into a
+    # contiguous run; each tier then reads its pairs with a dynamic_slice.
+    # This replaces a per-tier compact_mask (a full-list scatter each — the
+    # profiled hot spot: 6 x ~0.8 ms) with a single ~0.6 ms sort.
+    tier_id = jnp.full(o_uc.shape, len(tiers), jnp.int32)
+    for t in range(len(tiers) - 1, -1, -1):
+        u_cap, v_cap, _ = tiers[t]
+        fits = act_ & (o_uc <= u_cap) & (o_vc <= v_cap)
+        tier_id = jnp.where(fits, t, tier_id)
+    # inactive rows sort last, after any unassigned-but-active rows
+    tier_id = jnp.where(act_, tier_id, len(tiers) + 1)
+
+    key, s_us, s_uc, s_vs, s_vc, s_slot = jax.lax.sort(
+        (tier_id, o_us, o_uc, o_vs, o_vc, slot_), num_keys=1)
+    n_in_tier = [jnp.sum((tier_id == t).astype(jnp.int32))
+                 for t in range(len(tiers))]
+    starts = [jnp.int32(0)]
+    for t in range(len(tiers)):
+        starts.append(starts[-1] + n_in_tier[t])
+
     out = jnp.zeros((n_results,), bool)
     overflow = ovf_b + jnp.sum(
         (big & (maxc0 > _CHUNK * _CHUNK_GRID)).astype(jnp.int32))
-    lo = 0
-    tier_counts = []
-    for cap, slots in tiers:
-        in_tier = pt.active & (maxc > lo) & (maxc <= cap)
-        tier_counts.append(jnp.sum(in_tier.astype(jnp.int32)))
-        idx, cnt, ovf = compact_mask(in_tier, slots)
-        overflow = overflow + ovf
-        tier_active = jnp.arange(slots, dtype=jnp.int32) < cnt
-        us = jnp.where(tier_active, pt.u_start[idx], 0)
-        uc = jnp.where(tier_active, pt.u_count[idx], 0)
-        vs = jnp.where(tier_active, pt.v_start[idx], 0)
-        vc = jnp.where(tier_active, pt.v_count[idx], 0)
-        mind2 = _block_min_d2(sp_xyz, us, uc, vs, vc, cap)
+    # active pairs too big for every tier (uc or vc beyond the top caps)
+    overflow = overflow + jnp.sum((tier_id == len(tiers)).astype(jnp.int32))
+    dbg_idx = []          # profiling prefixes (DCE'd unless requested)
+    dbg_win = []
+    for t, (u_cap, v_cap, slots) in enumerate(tiers):
+        n_t = n_in_tier[t]
+        overflow = overflow + jnp.maximum(n_t - slots, 0)
+        tier_active = jnp.arange(slots, dtype=jnp.int32) < n_t
+
+        def sl(arr):
+            return jax.lax.dynamic_slice(arr, (starts[t],), (slots,))
+
+        us = jnp.where(tier_active, sl(s_us), 0)
+        uc = jnp.where(tier_active, sl(s_uc), 0)
+        vs = jnp.where(tier_active, sl(s_vs), 0)
+        vc = jnp.where(tier_active, sl(s_vc), 0)
+        dbg_idx.append(us.sum() + vs.sum())
+        pu = _stacked_windows(sp_xyz, us, uc, _F_BIG, u_cap, sr=8)
+        dbg_win.append(sum(w.sum() for w in pu))
+        mind2 = _block_min_d2(sp_xyz, us, uc, vs, vc, u_cap, v_cap,
+                              pu=pu, dbg_win=dbg_win)
         verdict = tier_active & (mind2 <= r2)
-        tgt = jnp.where(verdict, pt.slot[idx], n_results)
+        tgt = jnp.where(verdict, sl(s_slot), n_results)
         out = out.at[tgt].set(True, mode="drop")
-        lo = cap
-    top_cap = tiers[-1][0]
-    overflow = overflow + jnp.sum((pt.active & (maxc > top_cap))
-                                  .astype(jnp.int32))
-    return out, overflow, jnp.stack(tier_counts + [n_big])
+    dbg = {"tier_idx": sum(dbg_idx), "windows": sum(dbg_win)}
+    return out, overflow, jnp.stack(n_in_tier + [n_big]), dbg
 
 
 class _SnTable(NamedTuple):
@@ -349,13 +402,15 @@ def _build_supernodes(sp, cells: _CellTable, link1: jnp.ndarray,
     sn_of_cell = jnp.cumsum(new_sn.astype(jnp.int32)) - 1
     n_sn = jnp.sum(new_sn.astype(jnp.int32))
 
-    # per-supernode aggregates via reverse scan over the CELL table
+    # per-supernode aggregates via ONE scatter-min over the CELL table
+    # (same rationale as _build_cells: beats reverse scan + row gather)
     pack = jnp.concatenate(
         [cells.aabb[:, 0:3], -cells.aabb[:, 3:6],
          cells.min_orig[:, None].astype(jnp.float32),
          ], axis=1)
-    pack = jnp.where(slot_valid[:, None], pack, _F_BIG)
-    agg = seg_scan_min(pack, sn_of_cell, reverse=True)
+    tgt = jnp.where(slot_valid, sn_of_cell, s)
+    agg_s = jnp.full((s, 7), _F_BIG, jnp.float32).at[tgt].min(
+        pack, mode="drop")                                # (S,7)
 
     first_cell = run_starts(new_sn, sn_of_cell, s)        # (S,) cell ids
     sn_valid = jnp.arange(s, dtype=jnp.int32) < n_sn
@@ -369,7 +424,6 @@ def _build_supernodes(sp, cells: _CellTable, link1: jnp.ndarray,
     start = jnp.where(sn_valid, cells.start[fc], no)
     end = jnp.where(sn_valid, cells.end[lc], no)
     count = jnp.maximum(end - start, 0)
-    agg_s = agg[fc]
     aabb = jnp.concatenate([agg_s[:, 0:3], -agg_s[:, 3:6]], axis=1)
     min_orig = jnp.where(sn_valid, agg_s[:, 6].astype(jnp.int32), _IMAX)
     rep = sp.xyz[jnp.clip(start, 0, no - 1)]
@@ -502,8 +556,9 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
     pt = _PairTest(*(jnp.concatenate(x) for x in
                      (pt_u_start, pt_u_cnt, pt_v_start, pt_v_cnt,
                       pt_slot, pt_act)))
-    intra_verdict, ovf_t, tiers1 = _tiered_exact(sp.xyz, pt, r2, 2 * m,
-                                                 tiers=_TIERS_INTRA)
+    intra_verdict, ovf_t, tiers1, _dbg_t1 = _tiered_exact(
+        sp.xyz, pt, r2, 2 * m, tiers=_TIERS_INTRA,
+        chunk_pairs=_CHUNK_PAIRS_INTRA)
     overflow = overflow + ovf_t
 
     link1 = intra_link[1] | intra_verdict[:m]
@@ -590,15 +645,21 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
     e3u, e3v, e3ok, ovf3 = expand(cp_valid & (mx > 4) & (mx <= 8), 512, 8)
     e4u, e4v, e4ok, ovf4 = expand(cp_valid & (mx > 8), 64, 16)
     overflow = overflow + ovf1 + ovf2 + ovf3 + ovf4
-    # assemble supernode pair list: primaries first, then expansions
+    # assemble supernode pair list: primaries first, then expansions.
+    # Pack the valid pairs via ONE stable sort on the ok flag instead of a
+    # cumsum-compaction + two full-list gathers (sort is ~2x cheaper at this
+    # size and keeps the same relative order).
     all_u = jnp.concatenate([prim_u, e1u, e2u, e3u, e4u])
     all_v = jnp.concatenate([prim_v, e1v, e2v, e3v, e4v])
     all_ok = jnp.concatenate([prim_ok, e1ok, e2ok, e3ok, e4ok])
-    pidx, n_snp, ovf_p = compact_mask(all_ok, snp)
-    overflow = overflow + ovf_p
+    _, su_, sv_ = jax.lax.sort(
+        ((~all_ok).astype(jnp.int32), all_u, all_v), num_keys=1)
+    n_snp = jnp.sum(all_ok.astype(jnp.int32))
+    overflow = overflow + jnp.maximum(n_snp - snp, 0)
+    n_snp = jnp.minimum(n_snp, snp)
     snp_valid = jnp.arange(snp, dtype=jnp.int32) < n_snp
-    pu = jnp.where(snp_valid, all_u[pidx], 0)
-    pv = jnp.where(snp_valid, all_v[pidx], 0)
+    pu = jnp.where(snp_valid, su_[:snp], 0)
+    pv = jnp.where(snp_valid, sv_[:snp], 0)
 
     # ---- classify supernode pairs ---------------------------------------
     # one coalesced row gather per side: [aabb(6), rep(3), start, count]
@@ -622,57 +683,33 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
         v_start=rv[:, 9].astype(jnp.int32),
         v_count=rv[:, 10].astype(jnp.int32),
         slot=jnp.arange(snp, dtype=jnp.int32), active=ambiguous)
-    snp_verdict, ovf_t2, tiers2 = _tiered_exact(sp.xyz, pt2, r2, snp,
-                                                tiers=_TIERS_SNP)
+    snp_verdict, ovf_t2, tiers2, _dbg_t2 = _tiered_exact(
+        sp.xyz, pt2, r2, snp, tiers=_TIERS_SNP)
     overflow = overflow + ovf_t2
     snp_edge = pair_certain | snp_verdict
 
-    # ---- edge list -------------------------------------------------------
-    e_u = jnp.concatenate([jnp.where(snp_edge, pu, 0), e2_u])
-    e_v = jnp.concatenate([jnp.where(snp_edge, pv, 0), e2_v])
-    e_ok = jnp.concatenate([snp_edge, link2_edge])
-    e_u = jnp.where(e_ok, e_u, 0)
-    e_v = jnp.where(e_ok, e_v, 0)
+    # ---- edge list, compacted by one stable sort -------------------------
+    # (real edges first; the CC kernel then touches only n_edges entries)
+    e_u0 = jnp.concatenate([jnp.where(snp_edge, pu, 0), e2_u])
+    e_v0 = jnp.concatenate([jnp.where(snp_edge, pv, 0), e2_v])
+    e_ok0 = jnp.concatenate([snp_edge, link2_edge])
+    _, se_u, se_v = jax.lax.sort(
+        ((~e_ok0).astype(jnp.int32),
+         jnp.where(e_ok0, e_u0, 0), jnp.where(e_ok0, e_v0, 0)), num_keys=1)
+    n_edges = jnp.sum(e_ok0.astype(jnp.int32))
+    ec = min(pcfg.max_edges, e_u0.shape[0])
+    overflow = overflow + jnp.maximum(n_edges - ec, 0)
+    n_edges = jnp.minimum(n_edges, ec)
+    e_ok = jnp.arange(ec, dtype=jnp.int32) < n_edges
+    e_u = jnp.where(e_ok, se_u[:ec], 0)
+    e_v = jnp.where(e_ok, se_v[:ec], 0)
 
     # ---- connected components on the supernode graph --------------------
+    # serial union-find in SMEM on TPU (kernels/union_find.py — ~3x faster
+    # than the min-label hooking fixpoint it replaces), XLA hooking twin on
+    # other platforms; both produce min-node-id component labels.
     sn_valid_mask = jnp.arange(s_cap, dtype=jnp.int32) < sn.n_sn
-    labels = jnp.arange(s_cap, dtype=jnp.int32)
-
-    def compress(l, rounds=4):
-        for _ in range(rounds):
-            l = l[l]
-        return l
-
-    def hook(l, u, v, ok):
-        lu = l[u]
-        lv = l[v]
-        mn = jnp.where(ok, jnp.minimum(lu, lv), _IMAX)
-        l = l.at[jnp.where(ok, lu, s_cap)].min(mn, mode="drop")
-        l = l.at[jnp.where(ok, lv, s_cap)].min(mn, mode="drop")
-        return compress(l)
-
-    # round 1 over the full edge list
-    labels = hook(labels, e_u, e_v, e_ok)
-    # compact LIVE edges (endpoints still in different components)
-    live = e_ok & (labels[e_u] != labels[e_v])
-    lidx, n_live, ovf_l = compact_mask(live, pcfg.max_live_edges)
-    lmask = jnp.arange(pcfg.max_live_edges, dtype=jnp.int32) < n_live
-    lu_e = jnp.where(lmask, e_u[lidx], 0)
-    lv_e = jnp.where(lmask, e_v[lidx], 0)
-    overflow = overflow + ovf_l
-
-    def cond(state):
-        l, changed, it = state
-        return changed & (it < 32)
-
-    def body(state):
-        l, _, it = state
-        l2 = hook(l, lu_e, lv_e, lmask)
-        return l2, jnp.any(l2 != l), it + 1
-
-    labels, _, _ = jax.lax.while_loop(
-        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
-    labels = compress(labels, rounds=2)
+    labels = uf.cc_labels(e_u, e_v, n_edges, s_cap)
 
     # ---- stats, size filter, canonical numbering ------------------------
     comp_size = jnp.zeros((s_cap,), jnp.int32).at[
@@ -694,11 +731,14 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
     root_label = jnp.where(comp_valid, ranks, CLUSTER_INVALID)
 
     # ---- per-point labels in original order -----------------------------
+    # compose gathers through the CELL table (20k rows) so the per-point
+    # hop is ONE 81920-index gather instead of two
     sn_label = root_label[labels]                       # (S,)
-    pt_sn = sn_of_cell[jnp.clip(cell_id_pt, 0, m - 1)]  # (NO,)
+    cell_label = sn_label[jnp.clip(sn_of_cell, 0, s_cap - 1)]   # (M,)
     pt_valid = sp.key != _IMAX
-    pt_label = jnp.where(pt_valid, sn_label[jnp.clip(pt_sn, 0, s_cap - 1)],
-                         CLUSTER_UNDEFINED)
+    pt_label = jnp.where(
+        pt_valid, cell_label[jnp.clip(cell_id_pt, 0, m - 1)],
+        CLUSTER_UNDEFINED)
     out = jnp.full((n,), CLUSTER_UNDEFINED, jnp.int32).at[
         jnp.where(pt_valid, sp.orig, n)].set(pt_label, mode="drop")
     debug = dict(
@@ -709,5 +749,7 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
         n_cpairs=n_cpairs, pu=pu, pv=pv, n_snp=n_snp,
         impossible=impossible, certain=certain, snp_edge=snp_edge,
         e_u=e_u, e_v=e_v, e_ok=e_ok, labels=labels,
-        tiers1=tiers1, tiers2=tiers2)
+        tiers1=tiers1, tiers2=tiers2,
+        snp_classify=(impossible.sum(), certain.sum()),
+        snp_tier_idx=_dbg_t2["tier_idx"], snp_windows=_dbg_t2["windows"])
     return ClusteringResult(out, num_clusters, overflow), debug

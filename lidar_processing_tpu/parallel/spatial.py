@@ -73,6 +73,7 @@ def _block_pipeline_config(scfg: SpatialConfig,
         max_supernodes=scfg.block_supernodes,
         max_column_pairs=scfg.block_column_pairs,
         max_sn_pairs=scfg.block_sn_pairs,
+        max_edges=scfg.block_edges,
         max_live_edges=scfg.block_live_edges,
     )
 

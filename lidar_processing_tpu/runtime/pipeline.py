@@ -58,7 +58,13 @@ class FrameResult(NamedTuple):
 
 class FrameOutputs(NamedTuple):
     """Host-side per-frame outputs, mirroring the reference's four topics
-    (ref: src/processor.cpp:221-267)."""
+    (ref: src/processor.cpp:221-267).
+
+    outline_z_extents realizes the reference's planned 2.5-D polygon record
+    (PointXYdZ{x, y, z_min, z_max}, ref: src/polygonization.hpp:35-49 — the
+    dead-code polygonizer's documented output shape): each 2-D outline
+    carries the z range of its cluster's points.
+    """
 
     seg_labels: np.ndarray        # (n,) int32
     cluster_labels: np.ndarray    # (n,) int32 (over the full frame; UNDEFINED
@@ -66,6 +72,7 @@ class FrameOutputs(NamedTuple):
     num_clusters: int
     outlines: List[np.ndarray]    # ordered 2-D polygons, one per cluster
     outline_cluster_ids: List[int]  # cluster id of each outline
+    outline_z_extents: List[tuple]  # (z_min, z_max) per outline
     overflow: int
 
 
@@ -100,23 +107,32 @@ def device_frame_step(
                        small_hulls, large_idx, n_large, hull_overflow)
 
 
-def _host_concave_outlines(
+def _host_large_outlines(
     sorted_xyz: np.ndarray, starts: np.ndarray, counts: np.ndarray,
     large_ids: np.ndarray, n_large: int, config: EngineConfig,
 ) -> List[np.ndarray]:
-    """Chi-shape outlines for the large clusters (host, run slices).
+    """Outlines for the large clusters (host, run slices).
 
-    Uses the native C++ hull module when available, else the scipy-based
-    oracle implementation (ref: src/polygon_simplification.cpp:117-138).
+    polygonizer_concave=True (default): chi-shape concave hulls, the
+    reference's live path (ref: src/polygon_simplification.cpp:117-138).
+    polygonizer_concave=False: all-convex outlines, with Chan's algorithm
+    above chan_threshold points — the reference's alternate
+    findOrderedConvexOutlines path (ref: src/polygon_simplification.cpp:
+    32-63, selection :53-55). Native C++ when built, oracle fallback.
     """
     from ..ops import hull_native
-    chi = config.polygonization.chi
+    pcfg = config.polygonization
     outlines: List[np.ndarray] = []
     for k in range(n_large):
         c = int(large_ids[k])
         s, cnt = int(starts[c]), int(counts[c])
-        outlines.append(
-            hull_native.chi_concave_hull(sorted_xyz[s:s + cnt, :2], chi))
+        xy = sorted_xyz[s:s + cnt, :2]
+        if pcfg.polygonizer_concave:
+            outlines.append(hull_native.chi_concave_hull(xy, pcfg.chi))
+        else:
+            algo = "chan" if cnt > pcfg.chan_threshold else "monotone"
+            idx = hull_native.convex_hull_indices(xy, algorithm=algo)
+            outlines.append(xy[idx].astype(np.float32))
     return outlines
 
 
@@ -153,9 +169,18 @@ def host_outputs(fr: FrameResult, config: EngineConfig,
     counts = np.asarray(fr.runs.counts)
     large_ids = np.asarray(fr.large_ids)
     n_large = int(fr.n_large)
-    outlines.extend(_host_concave_outlines(
+    outlines.extend(_host_large_outlines(
         sorted_xyz, starts, counts, large_ids, n_large, config))
     outline_ids.extend(int(large_ids[k]) for k in range(n_large))
+
+    # 2.5-D record: z extent per outlined cluster from its label run
+    # (ref: src/polygonization.hpp:35-49 PointXYdZ{x,y,z_min,z_max})
+    z_extents = []
+    for c in outline_ids:
+        s, cnt = int(starts[c]), int(counts[c])
+        zs = sorted_xyz[s:s + cnt, 2]
+        z_extents.append((float(zs.min()), float(zs.max()))
+                         if cnt > 0 else (0.0, 0.0))
 
     return FrameOutputs(
         seg_labels=seg_labels,
@@ -163,5 +188,6 @@ def host_outputs(fr: FrameResult, config: EngineConfig,
         num_clusters=int(fr.clustering.num_clusters),
         outlines=outlines,
         outline_cluster_ids=outline_ids,
+        outline_z_extents=z_extents,
         overflow=int(fr.clustering.overflow) + int(fr.hull_overflow),
     )

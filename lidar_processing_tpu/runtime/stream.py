@@ -172,6 +172,7 @@ class ReplayStream:
                 num_clusters=int(fr.clustering.num_clusters),
                 outlines=[],
                 outline_cluster_ids=[],
+                outline_z_extents=[],
                 overflow=int(fr.clustering.overflow),
             )
         t2 = time.perf_counter()

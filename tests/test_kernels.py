@@ -20,12 +20,10 @@ def _tier_widths():
     """Every (Wu, Wv) the pipeline can instantiate (with the real slot
     count alongside for the alignment test)."""
     widths = []
-    for cap, slots in sx._TIERS_INTRA + sx._TIERS_SNP:
-        wu = cap + sx._SR
-        wv = min(cap, 128) + sx._SR
+    for u_cap, v_cap, slots in sx._TIERS_INTRA + sx._TIERS_SNP:
+        wu = u_cap + 8        # u side: 8-point superrows
+        wv = v_cap + 32       # v side: one wide 32-superrow window
         widths.append((slots, wu, wv))
-    # oversized-pair chunk path runs through the top tier (cap=_CHUNK)
-    widths.append((sx._CHUNK_PAIRS, sx._CHUNK + sx._SR, 128 + sx._SR))
     return widths
 
 
@@ -65,3 +63,29 @@ class TestMinD2Kernel:
         assert b % 8 == 0 and b >= 8
         # VMEM bound: distance block + 6 coordinate planes comfortably < 16MB
         assert b * wu * wv * 4 <= 4 * 1024 * 1024
+
+
+class TestUnionFindKernel:
+    """The serial SMEM union-find kernel must agree with its XLA twin
+    (min node id per component) — validated in interpret mode on CPU."""
+
+    @pytest.mark.parametrize("seed,s_cap,n_edges", [
+        (0, 512, 900), (1, 1024, 300), (2, 2048, 4000), (3, 128, 0),
+    ])
+    def test_interpret_matches_xla(self, seed, s_cap, n_edges):
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+        from lidar_processing_tpu.kernels import union_find as uf
+
+        rng = np.random.default_rng(seed)
+        ec = max(n_edges + 64, 128)
+        eu = jnp.asarray(rng.integers(0, s_cap, ec), jnp.int32)
+        ev = jnp.asarray(
+            np.minimum(s_cap - 1,
+                       rng.integers(0, s_cap, ec)
+                       + rng.integers(0, 30, ec)), jnp.int32)
+        ne = jnp.int32(n_edges)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(uf.cc_labels_pallas(eu, ev, ne, s_cap))
+        want = np.asarray(uf.cc_labels_xla(eu, ev, ne, s_cap))
+        np.testing.assert_array_equal(got, want)

@@ -30,6 +30,38 @@ class TestNativeConvex:
         nat = hn.convex_hull_indices(pts)
         assert set(nat.tolist()) == {0, 3}
 
+    def test_chan_matches_monotone_random(self, rng):
+        """Chan's grouped march must build the same strictly-convex CCW
+        hull as monotone chain (ref picks Chan for >1000-point clusters,
+        polygon_simplification.cpp:53-63)."""
+        for n in (3, 17, 300, 1500, 5000):
+            pts = rng.normal(0, 5, (n, 2)).astype(np.float32)
+            chan = hn.convex_hull_indices(pts, algorithm="chan")
+            mono = hn.convex_hull_indices(pts, algorithm="monotone")
+            assert set(chan.tolist()) == set(mono.tolist()), n
+            x, y = pts[chan, 0], pts[chan, 1]
+            area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+            assert area2 > 0
+
+    def test_chan_adversarial(self, rng):
+        # grid (massive collinearity), duplicates, circle (all on hull),
+        # tiny inputs
+        g = np.stack(np.meshgrid(np.arange(40), np.arange(40)),
+                     -1).reshape(-1, 2).astype(np.float32)
+        dup = np.repeat(rng.normal(0, 1, (50, 2)), 30, axis=0).astype(
+            np.float32)
+        th = rng.uniform(0, 2 * np.pi, 2000)
+        circ = np.stack([np.cos(th), np.sin(th)], 1).astype(np.float32)
+        for pts in (g, dup, circ,
+                    np.zeros((1, 2), np.float32),
+                    np.array([[0, 0], [1, 0]], np.float32)):
+            perm = rng.permutation(len(pts))
+            pts = pts[perm]
+            chan = hn.convex_hull_indices(pts, algorithm="chan")
+            mono = hn.convex_hull_indices(pts, algorithm="monotone")
+            assert (set(map(tuple, pts[chan].tolist()))
+                    == set(map(tuple, pts[mono].tolist())))
+
 
 @needs_native
 class TestNativeChi:

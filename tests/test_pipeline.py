@@ -42,3 +42,37 @@ class TestFramePipeline:
             out.outlines, ref.outlines)
         assert unmatched == 0
         assert chamfer_mean < 0.02, chamfer_mean
+
+    def test_z_extents(self, frame0, frame0_outputs):
+        """Each outline carries its cluster's z range (the reference's
+        planned 2.5-D PointXYdZ record, ref: src/polygonization.hpp:35-49)."""
+        out = frame0_outputs
+        assert len(out.outline_z_extents) == len(out.outlines)
+        for cid, (zmin, zmax) in zip(out.outline_cluster_ids,
+                                     out.outline_z_extents):
+            pts = frame0[out.cluster_labels == cid]
+            assert zmin == pytest.approx(pts[:, 2].min(), abs=1e-6)
+            assert zmax == pytest.approx(pts[:, 2].max(), abs=1e-6)
+
+    def test_convex_outline_mode(self, frame0):
+        """polygonizer_concave=False routes every large cluster through the
+        convex path with Chan above chan_threshold
+        (ref: src/polygon_simplification.cpp:32-63)."""
+        import dataclasses
+        from lidar_processing_tpu.runtime.pipeline import (device_frame_step,
+                                                           host_outputs)
+        cfg = DEFAULT_CONFIG.replace(
+            polygonization=dataclasses.replace(
+                DEFAULT_CONFIG.polygonization, polygonizer_concave=False))
+        pc = pad_cloud(frame0, None, cfg.pipeline.max_points)
+        fr = device_frame_step(jnp.asarray(pc.xyz), jnp.asarray(pc.mask), cfg)
+        out = host_outputs(fr, cfg, frame0.shape[0])
+        assert len(out.outlines) == out.num_clusters
+        # every outline is convex CCW (strictly convex vertices)
+        for o in out.outlines:
+            if len(o) < 4:
+                continue
+            a, b, c = o, np.roll(o, -1, 0), np.roll(o, -2, 0)
+            cr = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                  - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+            assert (cr > 0).all()

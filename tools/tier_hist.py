@@ -38,6 +38,8 @@ def main():
     tot_snp = np.zeros(len(bins) - 1, np.int64)
     max_intra = np.zeros(len(bins) - 1, np.int64)
     max_snp = np.zeros(len(bins) - 1, np.int64)
+    tot_2d = np.zeros((len(bins) - 1, len(bins) - 1))
+    max_2d = np.zeros((len(bins) - 1, len(bins) - 1))
     flops_needed = 0.0
 
     for p in frames:
@@ -68,6 +70,10 @@ def main():
                & ~np.asarray(dbg["impossible"])
                & ~np.asarray(dbg["certain"]))
         mx_snp = np.maximum(snc[pu], snc[pv])[amb]
+        mn_snp = np.minimum(snc[pu], snc[pv])[amb]
+        h2, _, _ = np.histogram2d(mn_snp, mx_snp, (bins, bins))
+        tot_2d = tot_2d + h2
+        max_2d = np.maximum(max_2d, h2)
 
         hi, _ = np.histogram(intra, bins)
         hs, _ = np.histogram(mx_snp, bins)
@@ -88,6 +94,12 @@ def main():
               f"{tot_snp[i] / n:10.1f} {max_snp[i]:10d}")
     print(f"true point-pair flops needed (snp, avg/frame): "
           f"{flops_needed / n / 1e6:.1f} MFLOP")
+    lbls = [f"{bins[i]}-{bins[i+1] if bins[i+1] < 10**9 else 'inf'}"
+            for i in range(len(bins) - 1)]
+    print("\nsnp 2D MAX counts (rows=min side, cols=max side):")
+    print(" " * 10 + " ".join(f"{l:>9s}" for l in lbls))
+    for i, row in enumerate(max_2d):
+        print(f"{lbls[i]:>10s}" + " ".join(f"{int(v):9d}" for v in row))
 
 
 if __name__ == "__main__":
