@@ -437,7 +437,12 @@ def _column_pairs(col_key, n_cols, pcfg: PipelineConfig):
     """Sort-merge the 12-offset probes against occupied column keys.
 
     Returns (u_col_slot, v_col_slot, n_pairs, overflow): pairs of COLUMN
-    table slots whose xy cells are 5x5-window neighbors.
+    table slots whose xy cells are 5x5-window neighbors. The merge key is
+    packed as column_key * 2 + is_probe (column keys < 2^22), so ONE
+    single-key sort both merges and orders hosts before their probes; the
+    hit list is then packed by a second single-key sort on the miss flag —
+    no scatter/gather compaction anywhere (profiled ~5x cheaper than the
+    compact_mask formulation at these sizes).
     """
     c = col_key.shape[0]                                   # column capacity
     cp = pcfg.max_column_pairs
@@ -450,25 +455,32 @@ def _column_pairs(col_key, n_cols, pcfg: PipelineConfig):
     for dx, dy in _XY_OFFSETS:
         nx2, ny2 = ix + dx, iy + dy
         ok = col_valid & (nx2 >= 0) & (nx2 < _GX) & (ny2 >= 0) & (ny2 < _GY)
-        probe_keys.append(jnp.where(ok, nx2 * _GY + ny2, _IMAX))
+        probe_keys.append(jnp.where(ok, (nx2 * _GY + ny2) * 2 + 1, _IMAX))
         probe_src.append(jnp.arange(c, dtype=jnp.int32))
     pk = jnp.concatenate(probe_keys)
     psrc = jnp.concatenate(probe_src)
-    # host rows: (key, tag=-slot-1 < 0); probe rows: (key, src_slot >= 0)
-    keys = jnp.concatenate([jnp.where(col_valid, col_key, _IMAX), pk])
-    tags = jnp.concatenate([-jnp.arange(c, dtype=jnp.int32) - 1, psrc])
-    sk2, st2 = jax.lax.sort((keys, tags), num_keys=2)  # hosts before probes
-    # broadcast each host's slot over its equal-key run
-    host_slot = jnp.where(st2 < 0, -st2 - 1, _IMAX)
+    keys = jnp.concatenate([jnp.where(col_valid, col_key * 2, _IMAX), pk])
+    tags = jnp.concatenate([jnp.arange(c, dtype=jnp.int32), psrc])
+    sk2, st2 = jax.lax.sort((keys, tags), num_keys=1)  # hosts before probes
+    # broadcast each host's slot over its equal-column run
+    kcol = sk2 >> 1
+    is_host = (sk2 != _IMAX) & ((sk2 & 1) == 0)
+    host_slot = jnp.where(is_host, st2, _IMAX)
     run_new = jnp.concatenate(
-        [jnp.array([True]), sk2[1:] != sk2[:-1]])
+        [jnp.array([True]), kcol[1:] != kcol[:-1]])
     run_id = jnp.cumsum(run_new.astype(jnp.int32)) - 1
     host_bcast = seg_broadcast_first(host_slot, run_id)
-    hit = (st2 >= 0) & (host_bcast != _IMAX) & (sk2 != _IMAX)
+    hit = (~is_host) & (sk2 != _IMAX) & (host_bcast != _IMAX)
 
-    idx, n_pairs, ovf = compact_mask(hit, cp)
-    u_col = jnp.where(jnp.arange(cp) < n_pairs, st2[idx], 0)
-    v_col = jnp.where(jnp.arange(cp) < n_pairs, host_bcast[idx], 0)
+    _, u_s, v_s = jax.lax.sort(
+        ((~hit).astype(jnp.int32), st2,
+         jnp.where(hit, host_bcast, 0)), num_keys=1)
+    n_pairs = jnp.sum(hit.astype(jnp.int32))
+    ovf = jnp.maximum(n_pairs - cp, 0)
+    n_pairs = jnp.minimum(n_pairs, cp)
+    live = jnp.arange(cp, dtype=jnp.int32) < n_pairs
+    u_col = jnp.where(live, u_s[:cp], 0)
+    v_col = jnp.where(live, v_s[:cp], 0)
     return u_col, v_col, n_pairs, ovf
 
 
@@ -609,20 +621,52 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
     cp = pcfg.max_column_pairs
     snp = pcfg.max_sn_pairs
     cp_valid = jnp.arange(cp, dtype=jnp.int32) < n_cpairs
-    uA = col_first_sn[u_col]
-    cA = jnp.where(cp_valid, col_sn_count[u_col], 0)
-    uB = col_first_sn[v_col]
-    cB = jnp.where(cp_valid, col_sn_count[v_col], 0)
+    # ONE packed row gather per side (first_sn * 32 + min(count, 31); counts
+    # past 16 already raise the overflow counter above) instead of four
+    # scalar gathers over the pair list
+    col_info = col_first_sn * 32 + jnp.minimum(col_sn_count, 31)
+    pa = col_info[u_col]
+    pb = col_info[v_col]
+    uA = pa // 32
+    cA = jnp.where(cp_valid, pa % 32, 0)
+    uB = pb // 32
+    cB = jnp.where(cp_valid, pb % 32, 0)
     # primary slot: first supernode of each column
     prim_u, prim_v = uA, uB
     prim_ok = cp_valid & (cA >= 1) & (cB >= 1)
 
-    def expand(sel_mask, cap, width):
-        """(cap, width, width) expansion grid over the compacted subset."""
-        midx, n_multi, ovf = compact_mask(sel_mask, cap)
-        ma = jnp.arange(cap, dtype=jnp.int32) < n_multi
-        muA, mcA = uA[midx], jnp.where(ma, cA[midx], 0)
-        muB, mcB = uB[midx], jnp.where(ma, cB[midx], 0)
+    # four-level multi-supernode expansion, sized for measured KITTI loads
+    # (~7k 2-supernode pairs, ~2k at 3-4, hundreds at 5-8 in the dense
+    # mid-sequence frames, and a handful past 8 — columns peak at 10
+    # supernodes on frame 95; the counter above fires past 16).
+    # ONE 3-operand sort packs the pairs into contiguous class bands (one
+    # band per expansion width); each band then reads its rows with a
+    # dynamic_slice — this replaces four compact_mask scatter/gather
+    # compactions over the full pair list (the profiled hot spot).
+    mx = jnp.maximum(cA, cB)
+    cls = jnp.where(mx <= 1, 5,
+                    jnp.where(mx == 2, 1,
+                              jnp.where(mx <= 4, 2,
+                                        jnp.where(mx <= 8, 3, 4))))
+    cls = jnp.where(cp_valid, cls, 6)
+    ck, spa, spb = jax.lax.sort((cls, pa, pb), num_keys=1)
+    n_cls = [jnp.sum((ck == k).astype(jnp.int32)) for k in (1, 2, 3, 4)]
+    offs = [jnp.int32(0)]
+    for k in range(4):
+        offs.append(offs[-1] + n_cls[k])
+    _E_CAPS = (16384, 4096, 512, 64)
+    pad_sl = jnp.zeros((max(_E_CAPS),), jnp.int32)
+    spa_p = jnp.concatenate([spa, pad_sl])
+    spb_p = jnp.concatenate([spb, pad_sl])
+
+    def expand_band(band, width):
+        cap = _E_CAPS[band]
+        a = jax.lax.dynamic_slice(spa_p, (offs[band],), (cap,))
+        b = jax.lax.dynamic_slice(spb_p, (offs[band],), (cap,))
+        nb = n_cls[band]
+        act = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(nb, cap)
+        muA, mcA = a // 32, jnp.where(act, a % 32, 0)
+        muB, mcB = b // 32, jnp.where(act, b % 32, 0)
         g = jnp.arange(width, dtype=jnp.int32)
         shp = (cap, width, width)
         eu = jnp.broadcast_to(muA[:, None, None] + g[None, :, None],
@@ -633,33 +677,35 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
                & (g[None, None, :] < jnp.minimum(mcB, width)[:, None, None])
                & ((g[None, :, None] > 0) | (g[None, None, :] > 0))
                ).reshape(-1)
-        return eu, ev, eok, ovf
+        return eu, ev, eok, jnp.maximum(nb - cap, 0)
 
-    # four-level multi-supernode expansion, sized for measured KITTI loads
-    # (~7k 2-supernode pairs, ~2k at 3-4, hundreds at 5-8 in the dense
-    # mid-sequence frames, and a handful past 8 — columns peak at 10
-    # supernodes on frame 95; the counter above fires past 16)
-    mx = jnp.maximum(cA, cB)
-    e1u, e1v, e1ok, ovf1 = expand(cp_valid & (mx == 2), 16384, 2)
-    e2u, e2v, e2ok, ovf2 = expand(cp_valid & (mx > 2) & (mx <= 4), 4096, 4)
-    e3u, e3v, e3ok, ovf3 = expand(cp_valid & (mx > 4) & (mx <= 8), 512, 8)
-    e4u, e4v, e4ok, ovf4 = expand(cp_valid & (mx > 8), 64, 16)
+    e1u, e1v, e1ok, ovf1 = expand_band(0, 2)
+    e2u, e2v, e2ok, ovf2 = expand_band(1, 4)
+    e3u, e3v, e3ok, ovf3 = expand_band(2, 8)
+    e4u, e4v, e4ok, ovf4 = expand_band(3, 16)
     overflow = overflow + ovf1 + ovf2 + ovf3 + ovf4
-    # assemble supernode pair list: primaries first, then expansions.
-    # Pack the valid pairs via ONE stable sort on the ok flag instead of a
-    # cumsum-compaction + two full-list gathers (sort is ~2x cheaper at this
-    # size and keeps the same relative order).
+    # assemble the supernode pair list. Valid pairs are packed to the front
+    # by ONE sort; when supernode ids fit 15 bits the (u, v, ok) triple is
+    # packed into a single int32 sort key (u * 2^15 + v, invalid -> 2^30),
+    # making this a single-operand sort.
     all_u = jnp.concatenate([prim_u, e1u, e2u, e3u, e4u])
     all_v = jnp.concatenate([prim_v, e1v, e2v, e3v, e4v])
     all_ok = jnp.concatenate([prim_ok, e1ok, e2ok, e3ok, e4ok])
-    _, su_, sv_ = jax.lax.sort(
-        ((~all_ok).astype(jnp.int32), all_u, all_v), num_keys=1)
     n_snp = jnp.sum(all_ok.astype(jnp.int32))
     overflow = overflow + jnp.maximum(n_snp - snp, 0)
     n_snp = jnp.minimum(n_snp, snp)
     snp_valid = jnp.arange(snp, dtype=jnp.int32) < n_snp
-    pu = jnp.where(snp_valid, su_[:snp], 0)
-    pv = jnp.where(snp_valid, sv_[:snp], 0)
+    if s_cap <= (1 << 15):
+        key = jnp.where(all_ok, all_u * (1 << 15) + all_v,
+                        jnp.int32(1) << 30)
+        skey = jax.lax.sort(key)
+        pu = jnp.where(snp_valid, skey[:snp] >> 15, 0)
+        pv = jnp.where(snp_valid, skey[:snp] & ((1 << 15) - 1), 0)
+    else:
+        _, su_, sv_ = jax.lax.sort(
+            ((~all_ok).astype(jnp.int32), all_u, all_v), num_keys=1)
+        pu = jnp.where(snp_valid, su_[:snp], 0)
+        pv = jnp.where(snp_valid, sv_[:snp], 0)
 
     # ---- classify supernode pairs ---------------------------------------
     # one coalesced row gather per side: [aabb(6), rep(3), start, count]
@@ -688,21 +734,29 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
     overflow = overflow + ovf_t2
     snp_edge = pair_certain | snp_verdict
 
-    # ---- edge list, compacted by one stable sort -------------------------
-    # (real edges first; the CC kernel then touches only n_edges entries)
+    # ---- edge list, compacted by one sort --------------------------------
+    # (real edges first; the CC kernel then touches only n_edges entries;
+    # single packed int32 key when supernode ids fit 15 bits)
     e_u0 = jnp.concatenate([jnp.where(snp_edge, pu, 0), e2_u])
     e_v0 = jnp.concatenate([jnp.where(snp_edge, pv, 0), e2_v])
     e_ok0 = jnp.concatenate([snp_edge, link2_edge])
-    _, se_u, se_v = jax.lax.sort(
-        ((~e_ok0).astype(jnp.int32),
-         jnp.where(e_ok0, e_u0, 0), jnp.where(e_ok0, e_v0, 0)), num_keys=1)
     n_edges = jnp.sum(e_ok0.astype(jnp.int32))
     ec = min(pcfg.max_edges, e_u0.shape[0])
     overflow = overflow + jnp.maximum(n_edges - ec, 0)
     n_edges = jnp.minimum(n_edges, ec)
     e_ok = jnp.arange(ec, dtype=jnp.int32) < n_edges
-    e_u = jnp.where(e_ok, se_u[:ec], 0)
-    e_v = jnp.where(e_ok, se_v[:ec], 0)
+    if s_cap <= (1 << 15):
+        ekey = jnp.where(e_ok0, e_u0 * (1 << 15) + e_v0, jnp.int32(1) << 30)
+        sek = jax.lax.sort(ekey)
+        e_u = jnp.where(e_ok, sek[:ec] >> 15, 0)
+        e_v = jnp.where(e_ok, sek[:ec] & ((1 << 15) - 1), 0)
+    else:
+        _, se_u, se_v = jax.lax.sort(
+            ((~e_ok0).astype(jnp.int32),
+             jnp.where(e_ok0, e_u0, 0), jnp.where(e_ok0, e_v0, 0)),
+            num_keys=1)
+        e_u = jnp.where(e_ok, se_u[:ec], 0)
+        e_v = jnp.where(e_ok, se_v[:ec], 0)
 
     # ---- connected components on the supernode graph --------------------
     # serial union-find in SMEM on TPU (kernels/union_find.py — ~3x faster
