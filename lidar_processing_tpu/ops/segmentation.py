@@ -249,8 +249,8 @@ def gpf_segment(
     planes per partition.
     """
     ss = gpf_segment_sorted(xyz, mask, cfg)
-    n_pts = xyz.shape[0]
-    labels = jnp.zeros((n_pts,), jnp.int32).at[
-        jnp.where(ss.valid, ss.orig, n_pts)].set(ss.labels, mode="drop")
+    # ss.orig is a permutation of [0, n): unsort via ONE 2-operand sort
+    # instead of a full-cloud scatter
+    _, labels = jax.lax.sort((ss.orig, ss.labels), num_keys=1)
     labels = jnp.where(mask, labels, SEG_UNKNOWN)
     return SegmentationResult(labels, ss.planes, ss.plane_valid)

@@ -83,14 +83,16 @@ _XY_OFFSETS = [(0, 1), (0, 2), (1, -2), (1, -1), (1, 0), (1, 1), (1, 2),
 #   * gather cost is ~15-20 ns per ROW regardless of width, so windows are
 #     fetched as stacked xyz superrows (one gather, 3 coordinates wide) and
 #     the u side uses 8-point superrows (2 rows for the dominant <=8 tier).
-#   * slots are sized to tools/tier_hist.py maxima with headroom; every
+#   * slots are sized to the 154-frame maxima (tools/measure_caps.py with
+#     the 4-rep certain prefilter active: intra [1797,41,697,149,66,43],
+#     snp [7760,904,2230,225,988,403]) with >=1.15x headroom; every
 #     violation raises the overflow counter (never a silent wrong verdict).
 # Pairs with a side beyond 288 split into 288-point sub-pair chunks (8x8
 # grid => sides up to 2304 points; beyond that overflow fires).
-_TIERS_INTRA = ((8, 32, 2560), (8, 96, 128), (32, 96, 1024),
-                (96, 96, 256), (96, 288, 128), (288, 288, 128))
-_TIERS_SNP = ((8, 32, 12288), (8, 96, 1536), (32, 96, 3584),
-              (96, 96, 512), (96, 288, 2048), (288, 288, 768))
+_TIERS_INTRA = ((8, 32, 2176), (8, 96, 64), (32, 96, 896),
+                (96, 96, 192), (96, 288, 96), (288, 288, 64))
+_TIERS_SNP = ((8, 32, 9216), (8, 96, 1152), (32, 96, 2688),
+              (96, 96, 288), (96, 288, 1280), (288, 288, 512))
 _CHUNK = 288
 _CHUNK_GRID = 8
 # compacted oversized-pair slots per call (154-frame maxima: 18 intra /
@@ -342,13 +344,13 @@ def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int,
     for t in range(len(tiers)):
         starts.append(starts[-1] + n_in_tier[t])
 
-    out = jnp.zeros((n_results,), bool)
     overflow = ovf_b + jnp.sum(
         (big & (maxc0 > _CHUNK * _CHUNK_GRID)).astype(jnp.int32))
     # active pairs too big for every tier (uc or vc beyond the top caps)
     overflow = overflow + jnp.sum((tier_id == len(tiers)).astype(jnp.int32))
     dbg_idx = []          # profiling prefixes (DCE'd unless requested)
     dbg_win = []
+    tgts = []
     for t, (u_cap, v_cap, slots) in enumerate(tiers):
         n_t = n_in_tier[t]
         overflow = overflow + jnp.maximum(n_t - slots, 0)
@@ -367,8 +369,11 @@ def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int,
         mind2 = _block_min_d2(sp_xyz, us, uc, vs, vc, u_cap, v_cap,
                               pu=pu, dbg_win=dbg_win)
         verdict = tier_active & (mind2 <= r2)
-        tgt = jnp.where(verdict, sl(s_slot), n_results)
-        out = out.at[tgt].set(True, mode="drop")
+        tgts.append(jnp.where(verdict, sl(s_slot), n_results))
+    # ONE verdict scatter for all tiers (six small scatters fused into one
+    # — TPU scatters pay per kernel as well as per input element)
+    out = jnp.zeros((n_results,), bool).at[
+        jnp.concatenate(tgts)].set(True, mode="drop")
     dbg = {"tier_idx": sum(dbg_idx), "windows": sum(dbg_win)}
     return out, overflow, jnp.stack(n_in_tier + [n_big]), dbg
 
@@ -377,7 +382,8 @@ class _SnTable(NamedTuple):
     start: jnp.ndarray     # (S,) first point index
     count: jnp.ndarray     # (S,) point count
     aabb: jnp.ndarray      # (S,6)
-    rep: jnp.ndarray       # (S,3) first point
+    rep: jnp.ndarray       # (S,3) first point (bottom cell's lowest-z point)
+    rep2: jnp.ndarray      # (S,3) TOP cell's first point (z-top probe)
     min_orig: jnp.ndarray  # (S,)
     first_cell: jnp.ndarray  # (S,) first cell id
     n_sn: jnp.ndarray
@@ -427,8 +433,13 @@ def _build_supernodes(sp, cells: _CellTable, link1: jnp.ndarray,
     aabb = jnp.concatenate([agg_s[:, 0:3], -agg_s[:, 3:6]], axis=1)
     min_orig = jnp.where(sn_valid, agg_s[:, 6].astype(jnp.int32), _IMAX)
     rep = sp.xyz[jnp.clip(start, 0, no - 1)]
+    # second rep at the supernode's TOP cell: the first-point "certain"
+    # test then covers z-disjoint pairs in both stacking orders (u's top
+    # probing v's bottom and vice versa), resolving most of the ambiguous
+    # pairs that previously went to the exact block tests
+    rep2 = sp.xyz[jnp.clip(cells.start[lc], 0, no - 1)]
     overflow = jnp.maximum(n_sn - s, 0)
-    tbl = _SnTable(start, count, aabb, rep, min_orig, first_cell,
+    tbl = _SnTable(start, count, aabb, rep, rep2, min_orig, first_cell,
                    jnp.minimum(n_sn, s), overflow)
     return tbl, sn_of_cell
 
@@ -501,16 +512,111 @@ def cluster_debug(xyz, valid, cfg, pcfg):
     return _cluster_impl(xyz, valid, cfg, pcfg)
 
 
+class FusedClusterOut(NamedTuple):
+    """cluster_fused output: clustering + segmentation written back in ONE
+    scatter, plus the cell-key-sorted obstacle arrays for the hull stage."""
+
+    result: ClusteringResult      # cluster labels in ORIGINAL point order
+    seg_labels: jnp.ndarray       # (N,) i32 seg labels in ORIGINAL order
+    sorted_xyz: jnp.ndarray       # (NO,3) cell-key-sorted obstacle points
+    sorted_label: jnp.ndarray     # (NO,) cluster label per sorted row
+    sorted_orig: jnp.ndarray      # (NO,) original index per sorted row
+
+
+def _sort_points_full(xyz, obstacle, point_valid, orig, seg_labels,
+                      pcfg: PipelineConfig, h: float):
+    """_sort_points variant that keeps the FULL permutation.
+
+    Obstacle points sort first (by cell key), then remaining valid points
+    (key _IMAX - 1), then padding (_IMAX) — so one scatter at the end can
+    write back BOTH label arrays for every real point.
+    Returns (sp, key_full, orig_full, seg_full).
+    """
+    n = xyz.shape[0]
+    no = pcfg.max_obstacle_points
+    inf3 = jnp.float32(3.4e38)
+    pmin = jnp.min(jnp.where(obstacle[:, None], xyz, inf3), axis=0)
+    pmin = jnp.where(jnp.isfinite(pmin), pmin, 0.0)
+    rel = jnp.floor((xyz - pmin) * jnp.float32(1.0 / h)).astype(jnp.int32)
+    lim = jnp.asarray([_GX, _GY, _GZ], jnp.int32)
+    coord_bad = obstacle & jnp.any((rel < 0) | (rel >= lim), axis=1)
+    rel = jnp.clip(rel, 0, lim - 1)
+    key = (rel[:, 0] * _GY + rel[:, 1]) * _GZ + rel[:, 2]
+    key = jnp.where(obstacle & ~coord_bad, key,
+                    jnp.where(point_valid, _IMAX - 1, _IMAX))
+
+    sk, sx, sy, sz, so, sl = jax.lax.sort(
+        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], orig, seg_labels), num_keys=1)
+    n_obst = jnp.sum((key < _IMAX - 1).astype(jnp.int32))
+    overflow = (jnp.sum(coord_bad.astype(jnp.int32))
+                + jnp.maximum(n_obst - no, 0))
+    slice_key = jnp.where(jnp.arange(no, dtype=jnp.int32) < n_obst,
+                          sk[:no], _IMAX)
+    sp = _SortedPoints(jnp.stack([sx[:no], sy[:no], sz[:no]], axis=1),
+                       slice_key, so[:no],
+                       jnp.minimum(n_obst, no), overflow)
+    return sp, sk, so, sl
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pcfg"))
+def cluster_fused(xyz_s, obstacle_s, point_valid_s, orig_s, seg_labels_s,
+                  cfg: ClusteringConfig, pcfg: PipelineConfig
+                  ) -> FusedClusterOut:
+    """Fused clustering over a pre-sorted segmented cloud.
+
+    Inputs live in gpf_segment_sorted's (partition, z) space; orig_s carries
+    the original index. Both stages' labels return to original order with
+    ONE packed int32 scatter (seg in 2 bits, cluster label + 2 above), and
+    the cell-key-sorted obstacle arrays feed the hull stage directly —
+    replacing three separate full-cloud scatters/sorts in the unfused path.
+    """
+    n = xyz_s.shape[0]
+    no = pcfg.max_obstacle_points
+    h = math.sqrt(cfg.distance_squared / 3.0)
+    sp, key_full, orig_full, seg_full = _sort_points_full(
+        xyz_s, obstacle_s, point_valid_s, orig_s, seg_labels_s, pcfg, h)
+    pt_label, num_clusters, overflow, _dbg = _cluster_core(sp, cfg, pcfg)
+
+    pt_valid = sp.key != _IMAX
+    cl_plus2 = jnp.concatenate([
+        jnp.where(pt_valid, pt_label + 2, 0),
+        jnp.zeros((n - no,), jnp.int32)])
+    packed = jnp.where(key_full != _IMAX, seg_full | (cl_plus2 << 2), 0)
+    # orig_full is a PERMUTATION of [0, n) (the original index carried
+    # through every sort), so the unsort is an inverse permutation — ONE
+    # 2-operand sort instead of a full-cloud scatter (~5x cheaper)
+    _, out_packed = jax.lax.sort((orig_full, packed), num_keys=1)
+    seg_out = out_packed & 3
+    fld = out_packed >> 2
+    cl_out = jnp.where(fld == 0, CLUSTER_UNDEFINED, fld - 2)
+    return FusedClusterOut(
+        ClusteringResult(cl_out, num_clusters, overflow), seg_out,
+        sp.xyz, jnp.where(pt_valid, pt_label, CLUSTER_UNDEFINED), sp.orig)
+
+
 def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
                   cfg: ClusteringConfig, pcfg: PipelineConfig):
     n = xyz.shape[0]
+    h = math.sqrt(cfg.distance_squared / 3.0)
+    sp = _sort_points(xyz, valid, pcfg, h)
+    pt_label, num_clusters, overflow, debug = _cluster_core(sp, cfg, pcfg)
+    pt_valid = sp.key != _IMAX
+    out = jnp.full((n,), CLUSTER_UNDEFINED, jnp.int32).at[
+        jnp.where(pt_valid, sp.orig, n)].set(pt_label, mode="drop")
+    return ClusteringResult(out, num_clusters, overflow), debug
+
+
+def _cluster_core(sp: _SortedPoints,
+                  cfg: ClusteringConfig, pcfg: PipelineConfig):
+    """Shared clustering core over a sorted obstacle buffer.
+
+    Returns (pt_label (NO,) labels per sorted row, num_clusters, overflow,
+    debug dict)."""
     r2 = cfg.distance_squared
-    h = math.sqrt(r2 / 3.0)
     m = pcfg.max_cells
     s_cap = pcfg.max_supernodes
     no = pcfg.max_obstacle_points
 
-    sp = _sort_points(xyz, valid, pcfg, h)
     cells, cell_id_pt, col_id_pt = _build_cells(sp, pcfg)
     overflow = sp.overflow + cells.overflow
 
@@ -654,7 +760,7 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
     offs = [jnp.int32(0)]
     for k in range(4):
         offs.append(offs[-1] + n_cls[k])
-    _E_CAPS = (16384, 4096, 512, 64)
+    _E_CAPS = (10240, 3840, 512, 64)
     pad_sl = jnp.zeros((max(_E_CAPS),), jnp.int32)
     spa_p = jnp.concatenate([spa, pad_sl])
     spb_p = jnp.concatenate([spb, pad_sl])
@@ -708,26 +814,36 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
         pv = jnp.where(snp_valid, sv_[:snp], 0)
 
     # ---- classify supernode pairs ---------------------------------------
-    # one coalesced row gather per side: [aabb(6), rep(3), start, count]
+    # one coalesced row gather per side:
+    # [aabb(6), rep(3), rep2(3), start, count]
     sn_rows = jnp.concatenate(
-        [sn.aabb, sn.rep,
+        [sn.aabb, sn.rep, sn.rep2,
          sn.start[:, None].astype(jnp.float32),
-         sn.count[:, None].astype(jnp.float32)], axis=1)   # (S,11)
+         sn.count[:, None].astype(jnp.float32)], axis=1)   # (S,14)
     ru = sn_rows[pu]
     rv = sn_rows[pv]
     gap = jnp.maximum(0.0, jnp.maximum(ru[:, 0:3] - rv[:, 3:6],
                                        rv[:, 0:3] - ru[:, 3:6]))
     impossible = jnp.sum(gap * gap, axis=1) > r2
-    dr = ru[:, 6:9] - rv[:, 6:9]
-    certain = jnp.sum(dr * dr, axis=1) <= r2
+
+    def d2(a, b):
+        d = a - b
+        return jnp.sum(d * d, axis=1)
+
+    # 4 rep-pair probes (bottom/top x bottom/top): any hit connects the
+    # pair for certain without a block test
+    certain = ((d2(ru[:, 6:9], rv[:, 6:9]) <= r2)
+               | (d2(ru[:, 6:9], rv[:, 9:12]) <= r2)
+               | (d2(ru[:, 9:12], rv[:, 6:9]) <= r2)
+               | (d2(ru[:, 9:12], rv[:, 9:12]) <= r2))
     ambiguous = snp_valid & ~impossible & ~certain
     pair_certain = snp_valid & ~impossible & certain
 
     pt2 = _PairTest(
-        u_start=ru[:, 9].astype(jnp.int32),
-        u_count=ru[:, 10].astype(jnp.int32),
-        v_start=rv[:, 9].astype(jnp.int32),
-        v_count=rv[:, 10].astype(jnp.int32),
+        u_start=ru[:, 12].astype(jnp.int32),
+        u_count=ru[:, 13].astype(jnp.int32),
+        v_start=rv[:, 12].astype(jnp.int32),
+        v_count=rv[:, 13].astype(jnp.int32),
         slot=jnp.arange(snp, dtype=jnp.int32), active=ambiguous)
     snp_verdict, ovf_t2, tiers2, _dbg_t2 = _tiered_exact(
         sp.xyz, pt2, r2, snp, tiers=_TIERS_SNP)
@@ -784,7 +900,7 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
     num_clusters = jnp.sum(comp_valid.astype(jnp.int32))
     root_label = jnp.where(comp_valid, ranks, CLUSTER_INVALID)
 
-    # ---- per-point labels in original order -----------------------------
+    # ---- per-point labels over the sorted buffer ------------------------
     # compose gathers through the CELL table (20k rows) so the per-point
     # hop is ONE 81920-index gather instead of two
     sn_label = root_label[labels]                       # (S,)
@@ -793,17 +909,16 @@ def _cluster_impl(xyz: jnp.ndarray, valid: jnp.ndarray,
     pt_label = jnp.where(
         pt_valid, cell_label[jnp.clip(cell_id_pt, 0, m - 1)],
         CLUSTER_UNDEFINED)
-    out = jnp.full((n,), CLUSTER_UNDEFINED, jnp.int32).at[
-        jnp.where(pt_valid, sp.orig, n)].set(pt_label, mode="drop")
     debug = dict(
         sp=sp, cells=cells, cell_id_pt=cell_id_pt, link1=link1, link2=link2,
         intra_tests1=intra_tests[0], intra_tests2=intra_tests[1],
         sn=sn, sn_of_cell=sn_of_cell, col_first_sn=col_first_sn,
         col_sn_count=col_sn_count, u_col=u_col, v_col=v_col,
         n_cpairs=n_cpairs, pu=pu, pv=pv, n_snp=n_snp,
+        n_cls=jnp.stack(n_cls),
         impossible=impossible, certain=certain, snp_edge=snp_edge,
         e_u=e_u, e_v=e_v, e_ok=e_ok, labels=labels,
         tiers1=tiers1, tiers2=tiers2,
         snp_classify=(impossible.sum(), certain.sum()),
         snp_tier_idx=_dbg_t2["tier_idx"], snp_windows=_dbg_t2["windows"])
-    return ClusteringResult(out, num_clusters, overflow), debug
+    return pt_label, num_clusters, overflow, debug

@@ -29,9 +29,9 @@ from ..config import EngineConfig
 from ..ops import clustering as _cellgraph
 from ..ops import stixel as _stixel
 from ..ops.hull import (LabelRuns, convex_hulls_batched, gather_runs,
-                        label_runs)
+                        label_runs, label_runs_presorted)
 from ..ops.scan_utils import compact_mask
-from ..ops.segmentation import gpf_segment
+from ..ops.segmentation import gpf_segment, gpf_segment_sorted
 from ..types import (ClusteringResult, PolygonBatch, SegmentationResult,
                      SEG_OBSTACLE)
 
@@ -80,15 +80,36 @@ class FrameOutputs(NamedTuple):
 def device_frame_step(
     xyz: jnp.ndarray, mask: jnp.ndarray, config: EngineConfig
 ) -> FrameResult:
-    """Full on-device pipeline for one padded frame."""
+    """Full on-device pipeline for one padded frame.
+
+    On the stixel backend the stages are FUSED in sorted space: gpf leaves
+    its results in (partition, z) order, clustering consumes them directly
+    and writes BOTH label arrays back to original order with one packed
+    scatter, and the hull stage sorts the compacted obstacle buffer instead
+    of the full padded cloud — three full-cloud scatter/sorts fewer than
+    the stage-by-stage path (kept below for the cellgraph backend).
+    """
+    if config.pipeline.clustering_backend == "stixel":
+        ss = gpf_segment_sorted(xyz, mask, config.segmentation)
+        obstacle_s = ss.valid & (ss.labels == SEG_OBSTACLE)
+        fused = _stixel.cluster_fused(
+            ss.xyz, obstacle_s, ss.valid, ss.orig, ss.labels,
+            config.clustering, config.pipeline)
+        seg = SegmentationResult(fused.seg_labels, ss.planes, ss.plane_valid)
+        cl = fused.result
+        runs = label_runs_presorted(
+            fused.sorted_xyz, fused.sorted_label, fused.sorted_orig,
+            NUM_SLOTS)
+        return _hull_stage(seg, cl, runs, config)
     seg = gpf_segment(xyz, mask, config.segmentation)
     obstacle = mask & (seg.labels == SEG_OBSTACLE)
-    cluster_op = (_stixel.cluster
-                  if config.pipeline.clustering_backend == "stixel"
-                  else _cellgraph.cluster)
-    cl = cluster_op(xyz, obstacle, config.clustering, config.pipeline)
-
+    cl = _cellgraph.cluster(xyz, obstacle, config.clustering, config.pipeline)
     runs = label_runs(xyz, cl.labels, NUM_SLOTS)
+    return _hull_stage(seg, cl, runs, config)
+
+
+def _hull_stage(seg: SegmentationResult, cl: ClusteringResult,
+                runs: LabelRuns, config: EngineConfig) -> FrameResult:
     # device convex-hull path only handles up to SMALL_P points per cluster
     small_cut = min(config.polygonization.small_cluster_size, SMALL_P + 1)
     present = runs.counts > 0

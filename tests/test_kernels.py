@@ -89,3 +89,27 @@ class TestUnionFindKernel:
             got = np.asarray(uf.cc_labels_pallas(eu, ev, ne, s_cap))
         want = np.asarray(uf.cc_labels_xla(eu, ev, ne, s_cap))
         np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("seed,s_cap,n_edges", [
+        (0, 512, 900), (2, 2048, 4000), (4, 8192, 20000), (3, 128, 0),
+        (5, 1 << 16, 5000),   # above the packed-key limit: 3-operand path
+    ])
+    def test_hybrid_matches_xla(self, seed, s_cap, n_edges):
+        """The hook-then-serial hybrid (TPU production path) must produce
+        the same min-id component labels; serial stage swapped for the XLA
+        twin so the hook/dedup/compose logic is exercised on CPU."""
+        import jax.numpy as jnp
+        from lidar_processing_tpu.kernels import union_find as uf
+
+        rng = np.random.default_rng(seed)
+        ec = max(n_edges + 64, 128)
+        eu = jnp.asarray(rng.integers(0, s_cap, ec), jnp.int32)
+        ev = jnp.asarray(
+            np.minimum(s_cap - 1,
+                       rng.integers(0, s_cap, ec)
+                       + rng.integers(0, 30, ec)), jnp.int32)
+        ne = jnp.int32(n_edges)
+        got = np.asarray(uf.cc_labels_hybrid(
+            eu, ev, ne, s_cap, serial=uf.cc_labels_xla))
+        want = np.asarray(uf.cc_labels_xla(eu, ev, ne, s_cap))
+        np.testing.assert_array_equal(got, want)

@@ -51,6 +51,7 @@ def main():
             n_live=jnp.sum(live.astype(jnp.int32)),
             tiers1=dbg["tiers1"],
             tiers2=dbg["tiers2"],
+            n_cls=dbg["n_cls"],
             overflow=res.overflow,
             num=res.num_clusters,
         )
