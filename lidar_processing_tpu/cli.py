@@ -32,7 +32,7 @@ def _cmd_run(args) -> int:
     export_ids = (set(int(x) for x in args.export_frames.split(","))
                   if args.export_frames else set())
 
-    disp, host, missed, overflow = [], [], 0, 0
+    disp, host, missed, overflow, dropped = [], [], 0, 0, 0
     for out, m in stream.run(n, realtime=args.realtime,
                              stage_timing=args.stage_timing):
         stage = ""
@@ -49,6 +49,7 @@ def _cmd_run(args) -> int:
         host.append(m.t_host_ms)
         missed += m.deadline_missed
         overflow += m.overflow
+        dropped += m.frames_dropped
         if m.frame_id in export_ids and args.export_dir:
             fid = m.frame_id
             from .io.dataset import list_frames, load_frame
@@ -58,13 +59,15 @@ def _cmd_run(args) -> int:
             paths = export_frame(args.export_dir, fid, xyz,
                                  out.seg_labels, out.cluster_labels,
                                  out.outlines, out.outline_cluster_ids,
-                                 out.outline_z_extents)
+                                 out.outline_z_extents,
+                                 intensity=out.intensity)
             print(f"  exported: {', '.join(paths)}")
 
     print(f"\n{n} frames: dispatch p50={np.percentile(disp, 50):.2f}ms "
           f"p99={np.percentile(disp, 99):.2f}ms "
           f"host p50={np.percentile(host, 50):.2f}ms "
-          f"deadline_missed={missed} overflow_frames={overflow}")
+          f"deadline_missed={missed} overflow_frames={overflow} "
+          f"frames_dropped={dropped}")
     return 0
 
 

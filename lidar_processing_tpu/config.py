@@ -65,6 +65,9 @@ class PolygonizationConfig:
     """
 
     polygonizer_concave: bool = True
+    # vertex-count cap applied to every emitted outline via
+    # Visvalingam-Whyatt decimation (ops/simplify.py) — the reference's
+    # planned max_polygon_points (ref: src/polygonization.hpp:56)
     simplify_convex_by_maximum_points: bool = True
     max_points_in_polygon: int = 300
     small_cluster_size: int = 20         # below this: convex hull instead
@@ -102,6 +105,10 @@ class PipelineConfig:
     max_sn_pairs: int = 65536          # supernode candidate pairs (58,542)
     max_edges: int = 32768             # verified radius-graph edges (20,952)
     max_live_edges: int = 8192         # spatial-sharding merge edges (6,599)
+    # packed host-payload cap on compacted large-cluster points
+    # (runtime/pipeline.py pack_host_payload; 154-frame max is ~60k,
+    # bounded above by max_obstacle_points; overflow-counted)
+    payload_large_points: int = 65536
     replay_rate_hz: float = 10.0         # ref: src/dataloader.cpp:30
     queue_depth: int = 2                 # DDS QoS keep-last depth (processor.cpp:69)
     # Clustering backend: "stixel" (ops/stixel.py, sort/scan-based — the

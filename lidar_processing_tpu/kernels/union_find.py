@@ -84,12 +84,26 @@ def _uf_kernel(eu_ref, ev_ref, ne_ref, out_ref):
 
 def cc_labels_pallas(eu, ev, n_edges, s_cap: int):
     """labels (s_cap,) i32: min node id per component (TPU kernel)."""
-    return pl.pallas_call(
-        _uf_kernel,
-        out_shape=jax.ShapeDtypeStruct((s_cap,), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-    )(eu, ev, n_edges.reshape(1))
+    return _pallas_seq(s_cap)(eu, ev, n_edges)
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_seq(s_cap: int):
+    """sequential_vmap wrapper: the SMEM kernel is inherently serial and
+    whole-array, so a vmapped (batched-frames) caller lowers to lax.map
+    over per-frame kernel launches instead of pallas auto-batching (which
+    rejects SMEM block shapes)."""
+
+    @jax.custom_batching.sequential_vmap
+    def run(eu, ev, n_edges):
+        return pl.pallas_call(
+            _uf_kernel,
+            out_shape=jax.ShapeDtypeStruct((s_cap,), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        )(eu, ev, n_edges.reshape(1))
+
+    return run
 
 
 def cc_labels_xla(eu, ev, n_edges, s_cap: int):

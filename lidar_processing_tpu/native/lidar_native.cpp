@@ -21,11 +21,13 @@
 
 #include <algorithm>
 #include <array>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
 #include <queue>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -252,20 +254,29 @@ struct Delaunay {
     const double w = std::max({xmax - xmin, ymax - ymin, 1e-12});
 
     // insertion order: Morton-ish spatial sort for walk locality
+    // (keys precomputed once — the comparator-lambda version recomputed
+    // the 16-step interleave O(n log n) times)
     std::vector<int32_t> order(n);
-    for (int32_t i = 0; i < n; ++i) order[i] = i;
-    std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
-      auto key = [&](int32_t i) {
-        uint64_t gx = static_cast<uint64_t>((p[i].x - xmin) / w * 65535.0);
-        uint64_t gy = static_cast<uint64_t>((p[i].y - ymin) / w * 65535.0);
-        uint64_t k = 0;
-        for (int b2 = 0; b2 < 16; ++b2)
-          k |= ((gx >> b2) & 1ULL) << (2 * b2) |
-               ((gy >> b2) & 1ULL) << (2 * b2 + 1);
-        return k;
+    {
+      auto interleave = [](uint64_t v) {
+        v = (v | (v << 8)) & 0x00FF00FF00FF00FFULL;
+        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FULL;
+        v = (v | (v << 2)) & 0x3333333333333333ULL;
+        v = (v | (v << 1)) & 0x5555555555555555ULL;
+        return v;
       };
-      return key(a) < key(b);
-    });
+      std::vector<uint64_t> mkey(n);
+      for (int32_t i = 0; i < n; ++i) {
+        const uint64_t gx =
+            static_cast<uint64_t>((p[i].x - xmin) / w * 65535.0);
+        const uint64_t gy =
+            static_cast<uint64_t>((p[i].y - ymin) / w * 65535.0);
+        mkey[i] = interleave(gx) | (interleave(gy) << 1);
+      }
+      for (int32_t i = 0; i < n; ++i) order[i] = i;
+      std::sort(order.begin(), order.end(),
+                [&](int32_t a, int32_t b) { return mkey[a] < mkey[b]; });
+    }
 
     // seed: first two distinct points + first point not collinear with them
     int32_t s0 = order[0], s1 = -1, s2 = -1;
@@ -296,6 +307,14 @@ struct Delaunay {
     std::vector<int32_t> bad;
     std::vector<char> in_cavity(64, 0);
     std::vector<int32_t> stack;
+    // hoisted per-insertion scratch (was a fresh unordered_map + two
+    // vectors per point — the dominant constant-factor cost)
+    struct BEdge { int32_t a, b, outside; };
+    std::vector<BEdge> bound;
+    std::vector<int32_t> fresh;
+    std::vector<int32_t> es_tri(n + 1, -1);    // edge_start, epoch-tagged
+    std::vector<uint32_t> es_epoch(n + 1, 0);
+    uint32_t epoch = 0;
     int32_t last = 0;
     for (size_t oi = 0; oi < order.size(); ++oi) {
       const int32_t pi = order[oi];
@@ -333,8 +352,7 @@ struct Delaunay {
         continue;
       }
       // --- cavity boundary edges, with their outside neighbors
-      struct BEdge { int32_t a, b, outside; };
-      std::vector<BEdge> bound;
+      bound.clear();
       for (int32_t t : bad)
         for (int k = 0; k < 3; ++k) {
           const int32_t nb = tris[t].nb[k];
@@ -343,7 +361,7 @@ struct Delaunay {
         }
       // --- retriangulate: one new triangle (a, b, pi) per boundary edge;
       //     reuse cavity slots, allocate the rest
-      std::vector<int32_t> fresh(bound.size());
+      fresh.resize(bound.size());
       for (size_t e = 0; e < bound.size(); ++e)
         fresh[e] = (e < bad.size())
                        ? bad[e]
@@ -352,10 +370,11 @@ struct Delaunay {
         in_cavity.resize(tris.size() * 2, 0);
       // cavity boundary is a single cycle: each boundary vertex starts
       // exactly one directed edge (the ghost can be such a vertex too)
-      std::unordered_map<int32_t, int32_t> edge_start;
-      edge_start.reserve(bound.size() * 2);
-      for (size_t e = 0; e < bound.size(); ++e)
-        edge_start[bound[e].a] = fresh[e];
+      ++epoch;
+      for (size_t e = 0; e < bound.size(); ++e) {
+        es_tri[bound[e].a] = fresh[e];
+        es_epoch[bound[e].a] = epoch;
+      }
       for (size_t e = 0; e < bound.size(); ++e) {
         Tri& t = tris[fresh[e]];
         t.v[0] = bound[e].a; t.v[1] = bound[e].b; t.v[2] = pi;
@@ -367,8 +386,7 @@ struct Delaunay {
             if (o.v[k] == bound[e].b && o.v[(k + 1) % 3] == bound[e].a)
               o.nb[k] = fresh[e];
         }
-        auto it = edge_start.find(bound[e].b);
-        t.nb[1] = (it != edge_start.end()) ? it->second : -1;
+        t.nb[1] = (es_epoch[bound[e].b] == epoch) ? es_tri[bound[e].b] : -1;
       }
       for (size_t e = 0; e < bound.size(); ++e) {
         const int32_t nb1 = tris[fresh[e]].nb[1];
@@ -417,13 +435,6 @@ struct Delaunay {
   }
 };
 
-// key for an undirected edge
-inline uint64_t ekey(int32_t a, int32_t b) {
-  if (a > b) std::swap(a, b);
-  return (static_cast<uint64_t>(static_cast<uint32_t>(a)) << 32) |
-         static_cast<uint32_t>(b);
-}
-
 // ---------------------------------------------------------------------------
 // chi-shape peeling over the Delaunay boundary.
 // ---------------------------------------------------------------------------
@@ -433,106 +444,116 @@ int32_t chi_hull_impl(const float* pts, int32_t n, double chi,
   dt.build(pts, n);
   if (!dt.ok) return -2;  // degenerate: caller falls back to convex hull
 
-  // edge -> adjacent alive triangles
-  std::unordered_map<uint64_t, std::pair<int32_t, int32_t>> edge_tris;
-  edge_tris.reserve(dt.tris.size() * 2);
-  double l_min = std::numeric_limits<double>::max(), l_max = 0.0;
+  // Hash-free formulation: the triangulation's stored adjacency IS the
+  // edge structure. An edge of alive triangle t is (t, k) with endpoints
+  // (v[k], v[(k+1)%3]); it is a BOUNDARY edge iff the neighbor across it
+  // is missing/dead (ghost triangles were already marked dead by build).
+  auto& tris = dt.tris;
+  const int32_t T = static_cast<int32_t>(tris.size());
+  std::vector<char> alive(T);
+  int32_t alive_cnt = 0;
+  for (int32_t t = 0; t < T; ++t) {
+    alive[t] = tris[t].alive ? 1 : 0;
+    alive_cnt += alive[t];
+  }
+  if (alive_cnt == 0) return -2;
   auto elen = [&](int32_t a, int32_t b) {
     const double dx = dt.p[a].x - dt.p[b].x, dy = dt.p[a].y - dt.p[b].y;
     return std::sqrt(dx * dx + dy * dy);
   };
-  int32_t alive_cnt = 0;
-  for (size_t t = 0; t < dt.tris.size(); ++t) {
-    if (!dt.tris[t].alive) continue;
-    ++alive_cnt;
+  auto is_b = [&](int32_t t, int k) {
+    const int32_t nb = tris[t].nb[k];
+    return nb < 0 || !alive[nb];
+  };
+
+  // chi threshold over every (undirected) triangulation edge
+  double l_min = std::numeric_limits<double>::max(), l_max = 0.0;
+  for (int32_t t = 0; t < T; ++t) {
+    if (!alive[t]) continue;
     for (int k = 0; k < 3; ++k) {
-      const int32_t a = dt.tris[t].v[k], b = dt.tris[t].v[(k + 1) % 3];
-      auto& slot = edge_tris[ekey(a, b)];
-      if (slot.first == 0 && slot.second == 0) slot = {-1, -1};
-      (slot.first < 0 ? slot.first : slot.second) = static_cast<int32_t>(t);
+      const int32_t nb = tris[t].nb[k];
+      if (nb >= 0 && alive[nb] && nb < t) continue;  // count interior once
+      const double l = elen(tris[t].v[k], tris[t].v[(k + 1) % 3]);
+      l_min = std::min(l_min, l);
+      l_max = std::max(l_max, l);
     }
-  }
-  if (alive_cnt == 0) return -2;
-  for (auto& kv : edge_tris) {
-    const int32_t a = static_cast<int32_t>(kv.first >> 32);
-    const int32_t b = static_cast<int32_t>(kv.first & 0xffffffffu);
-    const double l = elen(a, b);
-    l_min = std::min(l_min, l);
-    l_max = std::max(l_max, l);
   }
   const double l_thresh = l_min + chi * (l_max - l_min);
 
-  std::unordered_map<int32_t, int32_t> boundary_deg;
-  std::vector<char> is_boundary_edge;  // parallel to heap entries? use set:
-  std::unordered_map<uint64_t, char> boundary;
-  using HeapItem = std::pair<double, uint64_t>;  // (length, edge)
+  // peel: longest-first over boundary edges; removing triangle t across
+  // boundary edge (a,b) exposes its other two edges (always interior
+  // before the peel — if either were boundary, opp would be a boundary
+  // vertex and the regularity constraint blocks the peel)
+  std::vector<int32_t> bdeg(n, 0);   // boundary-edge incidences per vertex
+  using HeapItem = std::tuple<double, int32_t, int32_t>;  // (len, t, k)
   std::priority_queue<HeapItem> heap;
-  std::vector<char> tri_alive(dt.tris.size(), 0);
-  for (size_t t = 0; t < dt.tris.size(); ++t)
-    tri_alive[t] = dt.tris[t].alive ? 1 : 0;
-  for (auto& kv : edge_tris) {
-    if (kv.second.second < 0) {  // single adjacent triangle => boundary
-      boundary[kv.first] = 1;
-      const int32_t a = static_cast<int32_t>(kv.first >> 32);
-      const int32_t b = static_cast<int32_t>(kv.first & 0xffffffffu);
-      ++boundary_deg[a];
-      ++boundary_deg[b];
-      heap.push({elen(a, b), kv.first});
-    }
+  for (int32_t t = 0; t < T; ++t) {
+    if (!alive[t]) continue;
+    for (int k = 0; k < 3; ++k)
+      if (is_b(t, k)) {
+        const int32_t a = tris[t].v[k], b = tris[t].v[(k + 1) % 3];
+        ++bdeg[a];
+        ++bdeg[b];
+        heap.push({elen(a, b), t, k});
+      }
   }
-
   while (!heap.empty()) {
-    auto [l, e] = heap.top();
+    const auto [l, t, k] = heap.top();
     heap.pop();
-    auto it = boundary.find(e);
-    if (it == boundary.end() || !it->second) continue;
+    if (!alive[t]) continue;  // stale: owning triangle already peeled
     if (l <= l_thresh) break;
-    auto& ts = edge_tris[e];
-    int32_t t = -1, cnt = 0;
-    if (ts.first >= 0 && tri_alive[ts.first]) { t = ts.first; ++cnt; }
-    if (ts.second >= 0 && tri_alive[ts.second]) { t = ts.second; ++cnt; }
-    if (cnt != 1) continue;
-    const int32_t a = static_cast<int32_t>(e >> 32);
-    const int32_t b = static_cast<int32_t>(e & 0xffffffffu);
-    int32_t opp = -1;
-    for (int k = 0; k < 3; ++k) {
-      const int32_t v = dt.tris[t].v[k];
-      if (v != a && v != b) opp = v;
+    const int32_t opp = tris[t].v[(k + 2) % 3];
+    if (bdeg[opp] > 0) continue;  // regularity constraint
+    alive[t] = 0;
+    for (int kk : {(k + 1) % 3, (k + 2) % 3}) {
+      const int32_t nb = tris[t].nb[kk];
+      // nb is alive (see argument above); find the shared edge from its
+      // side so the new boundary edge references a live triangle
+      for (int k2 = 0; k2 < 3; ++k2)
+        if (tris[nb].nb[k2] == t) {
+          heap.push({elen(tris[nb].v[k2], tris[nb].v[(k2 + 1) % 3]),
+                     nb, k2});
+          break;
+        }
     }
-    if (boundary_deg[opp] > 0) continue;  // regularity constraint
-    boundary[e] = 0;
-    tri_alive[t] = 0;
-    for (int32_t v : {a, b}) {
-      const uint64_t ne = ekey(v, opp);
-      boundary[ne] = 1;
-      heap.push({elen(v, opp), ne});
-    }
-    boundary_deg[opp] += 2;
+    bdeg[opp] += 2;
   }
 
-  // walk the boundary cycle starting from the minimum vertex
-  std::unordered_map<int32_t, std::vector<int32_t>> adj;
-  for (auto& kv : boundary) {
-    if (!kv.second) continue;
-    const int32_t a = static_cast<int32_t>(kv.first >> 32);
-    const int32_t b = static_cast<int32_t>(kv.first & 0xffffffffu);
-    adj[a].push_back(b);
-    adj[b].push_back(a);
+  // walk the boundary cycle via triangle adjacency, starting from the
+  // minimum boundary vertex (matches the previous formulation's start)
+  int32_t st = -1, sk = -1, smin = std::numeric_limits<int32_t>::max();
+  for (int32_t t = 0; t < T; ++t) {
+    if (!alive[t]) continue;
+    for (int k = 0; k < 3; ++k)
+      if (is_b(t, k) && tris[t].v[k] < smin) {
+        smin = tris[t].v[k];
+        st = t;
+        sk = k;
+      }
   }
-  if (adj.empty()) return -2;
-  int32_t start = std::numeric_limits<int32_t>::max();
-  for (auto& kv : adj) start = std::min(start, kv.first);
-  std::vector<int32_t> walk{start};
-  int32_t prev = -1, cur = start;
+  if (st < 0) return -2;
+  std::vector<int32_t> walk;
+  int32_t t = st, k = sk;
   while (true) {
-    int32_t nxt = -1;
-    for (int32_t v : adj[cur])
-      if (v != prev) { nxt = v; break; }
-    if (nxt < 0 || nxt == start) break;
-    walk.push_back(nxt);
-    prev = cur;
-    cur = nxt;
+    walk.push_back(tris[t].v[k]);
     if (static_cast<int32_t>(walk.size()) > n) break;  // safety
+    // rotate around b = v[(k+1)%3] to the next boundary edge out of b
+    int kb = (k + 1) % 3;
+    while (!is_b(t, kb)) {
+      const int32_t nb = tris[t].nb[kb];
+      const int32_t b = tris[t].v[kb];
+      int found = -1;
+      for (int k2 = 0; k2 < 3; ++k2)
+        if (tris[nb].v[k2] == b) found = k2;
+      t = nb;
+      kb = found;
+    }
+    k = kb;
+    if (t == st && k == sk) break;  // cycle closed
+  }
+  if (static_cast<int32_t>(walk.size()) > n) {
+    // safety trip: malformed boundary; emit nothing -> convex fallback
+    return -2;
   }
   if (static_cast<int32_t>(walk.size()) > cap) return -1;  // caller: grow
   std::memcpy(out, walk.data(), walk.size() * sizeof(int32_t));
@@ -593,6 +614,49 @@ int32_t chi_concave_hull(const float* pts, int32_t n, double chi,
                          int32_t* out, int32_t cap) {
   if (n < 3) return -2;
   return chi_hull_impl(pts, n, chi, out, cap);
+}
+
+// Batched chi-shape hulls over concatenated clusters, parallelized with an
+// internal thread pool (one Python->C call per FRAME instead of one per
+// cluster — the per-call ctypes/GIL overhead dominates at ~150 large
+// clusters/frame). pts holds packed xy pairs; cluster j occupies point
+// offsets [offsets[j], offsets[j+1]). Hull indices (LOCAL to each cluster)
+// are written at the same offsets; out_counts[j] = vertex count. Degenerate
+// clusters (collinear/tiny) fall back to the convex hull, as the
+// single-cluster Python wrapper does. Pass clusters largest-first for the
+// best load balance.
+void chi_hulls_batch(const float* pts, const int64_t* offsets, int32_t m,
+                     double chi, int32_t* out, int32_t* out_counts,
+                     int32_t n_threads) {
+  std::atomic<int32_t> next(0);
+  auto work = [&]() {
+    for (;;) {
+      const int32_t j = next.fetch_add(1);
+      if (j >= m) break;
+      const int64_t off = offsets[j];
+      const int32_t nj = static_cast<int32_t>(offsets[j + 1] - off);
+      int32_t k = -2;
+      if (nj >= 3) k = chi_hull_impl(pts + 2 * off, nj, chi, out + off, nj);
+      if (k < 0) {  // degenerate: convex fallback
+        auto h = convex_hull_impl(pts + 2 * off, nj);
+        std::memcpy(out + off, h.data(), h.size() * sizeof(int32_t));
+        k = static_cast<int32_t>(h.size());
+      }
+      out_counts[j] = k;
+    }
+  };
+  const int32_t nt = std::max(
+      1, std::min(n_threads, static_cast<int32_t>(
+                      std::thread::hardware_concurrency())));
+  if (nt <= 1 || m <= 1) {
+    work();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nt - 1);
+  for (int32_t t = 1; t < nt; ++t) pool.emplace_back(work);
+  work();
+  for (auto& th : pool) th.join();
 }
 
 // Delaunay triangle list (debug/test): returns triangle count, writes up to

@@ -46,6 +46,9 @@ class LabelRuns(NamedTuple):
 
     sorted_xyz: (N, 3) f32 — points ordered by cluster id (stable: within a
                 cluster, original point order); non-cluster points last.
+    sorted_key: (N,) i32 — cluster id per sorted row (num_slots for
+                non-cluster rows); the per-point slot index used by the
+                packed-payload compaction.
     starts:     (C,) i32 — run start per cluster id.
     counts:     (C,) i32 — run length per cluster id.
     num:        ()  i32 — number of clusters present.
@@ -54,6 +57,7 @@ class LabelRuns(NamedTuple):
     """
 
     sorted_xyz: jnp.ndarray
+    sorted_key: jnp.ndarray
     starts: jnp.ndarray
     counts: jnp.ndarray
     num: jnp.ndarray
@@ -78,7 +82,7 @@ def label_runs(xyz: jnp.ndarray, labels: jnp.ndarray,
     counts = edges[1:] - starts
     num = jnp.max(jnp.where(labels >= 0, labels, -1)) + 1
     overflow = jnp.sum((labels >= num_slots).astype(jnp.int32))
-    return LabelRuns(sorted_xyz, starts, counts,
+    return LabelRuns(sorted_xyz, skey, starts, counts,
                      jnp.minimum(num, num_slots), overflow)
 
 
@@ -110,15 +114,20 @@ def label_runs_presorted(xyz: jnp.ndarray, labels: jnp.ndarray,
     n_lab = jnp.sum(valid.astype(jnp.int32))
     prev = jnp.concatenate([jnp.array([-1], jnp.int32), skey[:-1]])
     new_run = (skey != prev) & (skey < num_slots)
-    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-    starts_raw = run_starts(new_run, run_id, num_slots)
+    # compactness guard: the run table is only valid when every id in
+    # [0, num) has >= 1 point (true for _cluster_core's rank-compacted
+    # labels). A gappy caller would silently shift every subsequent
+    # start — fail loudly through the overflow counter instead.
+    n_runs = jnp.sum(new_run.astype(jnp.int32))
+    starts_raw = run_starts(new_run, num_slots)
     slot = jnp.arange(num_slots, dtype=jnp.int32)
     slot_valid = slot < num
     nxt = jnp.concatenate([starts_raw[1:], jnp.array([n], jnp.int32)])
     end = jnp.where(slot == num - 1, n_lab, nxt)
     starts = jnp.where(slot_valid, starts_raw, n)
     counts = jnp.where(slot_valid, jnp.maximum(end - starts_raw, 0), 0)
-    return LabelRuns(sorted_xyz, starts, counts, num, overflow)
+    overflow = overflow + jnp.where(n_runs != num, jnp.int32(1), jnp.int32(0))
+    return LabelRuns(sorted_xyz, skey, starts, counts, num, overflow)
 
 
 _SR = 32  # superrow width for aligned window gathers
@@ -228,6 +237,12 @@ def convex_hulls_batched(
 
     xy: (C, P, 2); counts: (C,). Returns PolygonBatch with up to max_out
     vertices per hull (indices resolved to coordinates).
+
+    MEMORY: the dense successor-table formulation materializes (C, P, P, P)
+    f32 transients (cross/tolerance/bad tensors) — several hundred MB at
+    the current (1024, 32) batch, growing CUBICALLY in P. Raising SMALL_P
+    (runtime/pipeline.py) or SMALL_C beyond ~2x re-evaluate this against
+    the O(P^2)-per-step scan variant it replaced, or chunk the batch.
     """
     verts_idx, n = jax.vmap(
         lambda a, c: _convex_hull_small_single(a, c, max_out))(xy, counts)

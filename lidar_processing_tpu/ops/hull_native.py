@@ -55,6 +55,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_float,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.chi_hulls_batch.restype = None
+        lib.chi_hulls_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_double, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
         lib.fec_cluster.restype = ctypes.c_int32
         lib.fec_cluster.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_double,
@@ -164,6 +170,42 @@ def radius_cc(points: np.ndarray, radius: float) -> np.ndarray:
     return radius_cc_cluster(
         pts, ClusteringConfig(distance_squared=radius * radius,
                               min_cluster_size=1))
+
+
+def chi_hulls_batch(packed_xy: np.ndarray, offsets: np.ndarray,
+                    chi: float, n_threads: int = 0):
+    """Batched ordered chi-shape outlines for many clusters in ONE native
+    call (internal thread pool; pass clusters largest-first).
+
+    packed_xy: (P, 2) f32 concatenated cluster points; offsets: (m+1,)
+    int64 point offsets. Returns a list of (k_j, 2) f32 outline vertex
+    arrays, or None when the native module is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    m = offsets.shape[0] - 1
+    if m == 0:
+        return []
+    pts = np.ascontiguousarray(packed_xy, np.float32)
+    offs = np.ascontiguousarray(offsets, np.int64)
+    out = np.empty(pts.shape[0], np.int32)
+    counts = np.empty(m, np.int32)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.chi_hulls_batch(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.int32(m), ctypes.c_double(chi),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int32(n_threads))
+    res = []
+    for j in range(m):
+        lo, hi = int(offs[j]), int(offs[j + 1])
+        idx = out[lo:lo + int(counts[j])]
+        res.append(pts[lo:hi][idx])
+    return res
 
 
 def chi_concave_hull(points: np.ndarray, chi: float) -> np.ndarray:

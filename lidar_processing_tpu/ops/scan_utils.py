@@ -70,17 +70,21 @@ def _bcast(seg_ids, values):
     return seg_ids
 
 
-def run_starts(new_run: jnp.ndarray, run_ids: jnp.ndarray,
-               num_runs: int) -> jnp.ndarray:
+def run_starts(new_run: jnp.ndarray, num_runs: int) -> jnp.ndarray:
     """Each run's start position as a (num_runs,) table.
 
-    new_run: (N,) bool marking run starts; run_ids: (N,) int32 (== cumsum of
-    new_run - 1 for valid entries). Slots beyond the real run count hold N.
+    new_run: (N,) bool marking run starts. Slots beyond the real run count
+    hold N.
 
-    Because run ids are monotone in position, the k-th run's start is the
-    k-th smallest flagged position — ONE single-operand sort, ~5x cheaper
-    than the full-length scatter it replaces (TPU scatter costs ~7 ns per
-    INPUT element regardless of how few targets receive updates).
+    CONTRACT: the table is indexed by *implicit* run id == the rank of the
+    flagged position, i.e. ``cumsum(new_run) - 1``. Callers that carry
+    their own (clamped/remapped) run-id array must ensure it equals that
+    cumsum; any other numbering silently reads the wrong starts.
+
+    Because those ranks are monotone in position, the k-th run's start is
+    the k-th smallest flagged position — ONE single-operand sort, ~5x
+    cheaper than the full-length scatter it replaces (TPU scatter costs
+    ~7 ns per INPUT element regardless of how few targets receive updates).
     """
     n = new_run.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)

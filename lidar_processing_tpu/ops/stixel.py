@@ -87,6 +87,13 @@ _XY_OFFSETS = [(0, 1), (0, 2), (1, -2), (1, -1), (1, 0), (1, 1), (1, 2),
 #     the 4-rep certain prefilter active: intra [1797,41,697,149,66,43],
 #     snp [7760,904,2230,225,988,403]) with >=1.15x headroom; every
 #     violation raises the overflow counter (never a silent wrong verdict).
+#     RETUNING: denser out-of-distribution scenes will trip overflow
+#     (flagged, degraded output: dropped pair verdicts => split clusters)
+#     before accuracy degrades silently. To retune for a new dataset, run
+#     `python tools/measure_caps.py` over its frames and resize
+#     _TIERS_INTRA/_TIERS_SNP/_E_CAPS/_CHUNK_PAIRS_* to the new maxima
+#     with >=1.15x headroom (cheap low tiers tolerate more); static slots
+#     cost linearly whether occupied or not.
 # Pairs with a side beyond 288 split into 288-point sub-pair chunks (8x8
 # grid => sides up to 2304 points; beyond that overflow fires).
 _TIERS_INTRA = ((8, 32, 2176), (8, 96, 64), (32, 96, 896),
@@ -182,7 +189,7 @@ def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
     agg_c = jnp.full((m, 7), _F_BIG, jnp.float32).at[tgt].min(
         pack, mode="drop")                            # (M,7)
 
-    starts = run_starts(new_cell, cell_id, m)         # (M,)
+    starts = run_starts(new_cell, m)         # (M,)
     slot_valid = jnp.arange(m, dtype=jnp.int32) < n_cells
     start_c = jnp.clip(starts, 0, no - 1)
     # end = start of the next cell (cells are consecutive in sorted order)
@@ -418,7 +425,7 @@ def _build_supernodes(sp, cells: _CellTable, link1: jnp.ndarray,
     agg_s = jnp.full((s, 7), _F_BIG, jnp.float32).at[tgt].min(
         pack, mode="drop")                                # (S,7)
 
-    first_cell = run_starts(new_sn, sn_of_cell, s)        # (S,) cell ids
+    first_cell = run_starts(new_sn, s)        # (S,) cell ids
     sn_valid = jnp.arange(s, dtype=jnp.int32) < n_sn
     fc = jnp.clip(first_cell, 0, m - 1)
     nxt_first = jnp.concatenate([first_cell[1:], jnp.array([m], jnp.int32)])
@@ -700,7 +707,7 @@ def _cluster_core(sp: _SortedPoints,
     new_col_c = slot_valid & (cells.col_id != prev_col_c)
     col_idx_of_cell = jnp.cumsum(new_col_c.astype(jnp.int32)) - 1
     n_cols = jnp.sum(new_col_c.astype(jnp.int32))
-    col_first_cell = run_starts(new_col_c, col_idx_of_cell, c_cap)
+    col_first_cell = run_starts(new_col_c, c_cap)
     col_valid = jnp.arange(c_cap, dtype=jnp.int32) < n_cols
     cfc = jnp.clip(col_first_cell, 0, m - 1)
     # column key from the cell's stored col_id? col_id is the per-point

@@ -72,3 +72,54 @@ def sharded_batch_step(mesh: Mesh, xyzs, masks,
         raise ValueError(f"batch {b} not divisible by mesh size {n_dev}")
     with mesh:
         return _batch_step(mesh, xyzs, masks, config)
+
+
+def make_mesh_2d(n_data: int, n_space: int) -> Mesh:
+    """A hosts x chips mesh: 'data' (frames; DCN across hosts) x 'space'
+    (in-frame x-bands; ICI within a host) — SURVEY §7 step 6."""
+    devs = jax.devices()
+    need = n_data * n_space
+    if len(devs) < need:
+        try:
+            devs = jax.devices("cpu")
+        except RuntimeError:
+            pass
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:need]).reshape(n_data, n_space),
+                ("data", "space"))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "config"))
+def _seg_step_2d(mesh, xyzs, masks, config):
+    from ..ops.segmentation import gpf_segment
+    from ..types import SEG_OBSTACLE
+    sh = NamedSharding(mesh, P("data"))
+    xyzs = jax.lax.with_sharding_constraint(xyzs, sh)
+    masks = jax.lax.with_sharding_constraint(masks, sh)
+    seg = jax.vmap(lambda x, m: gpf_segment(x, m, config.segmentation))(
+        xyzs, masks)
+    obstacle = masks & (seg.labels == SEG_OBSTACLE)
+    return seg, obstacle
+
+
+def sharded_pipeline_2d(mesh: Mesh, xyzs, masks, config: EngineConfig):
+    """Full segment->cluster pipeline on a 2-D (data, space) mesh.
+
+    Frames shard over 'data' (GPF is per-frame, so it stays a pure batch
+    axis); each frame's clustering shards its x-bands over 'space' with
+    halo exchange + label merge (parallel/spatial.py). Returns
+    (SegmentationResult batched, ClusteringResult batched); clustering is
+    bit-identical per frame to the single-device path given the same
+    obstacle masks.
+    """
+    from .spatial import cluster_spatial_2d
+    b = xyzs.shape[0]
+    if b % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"batch {b} not divisible by data axis {mesh.shape['data']}")
+    with mesh:
+        seg, obstacle = _seg_step_2d(mesh, xyzs, masks, config)
+        cl = cluster_spatial_2d(mesh, xyzs, obstacle, config.clustering,
+                                config.pipeline, config.spatial)
+    return seg, cl

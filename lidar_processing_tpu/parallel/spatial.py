@@ -143,9 +143,30 @@ def cluster_spatial(mesh: Mesh, xyz, valid, ccfg: ClusteringConfig,
     return ClusteringResult(labels, num, overflow)
 
 
+def cluster_spatial_2d(mesh: Mesh, xyzs, valids, ccfg: ClusteringConfig,
+                       pcfg: PipelineConfig, scfg: SpatialConfig,
+                       data_axis: str = "data",
+                       space_axis: str = "space") -> ClusteringResult:
+    """Exact clustering of a FRAME BATCH on a 2-D hosts x chips mesh.
+
+    xyzs: (B, N, 3); valids: (B, N); B must equal (or be divisible by) the
+    `data_axis` mesh size. Frames shard over `data_axis` (the DP/frame-
+    pipelining analogue, ref: src/processor.cpp:93-100) while each frame's
+    x-bands shard over `space_axis` with the same halo-exchange label-merge
+    machinery as cluster_spatial — per-frame results are bit-identical to
+    the single-device path (tests/test_spatial.py).
+    """
+    s = mesh.shape[space_axis]
+    fn = _make_spatial_fn(mesh, space_axis, s, ccfg, pcfg, scfg,
+                          data_axis=data_axis)
+    labels, nums, overflows = fn(xyzs, valids)
+    return ClusteringResult(labels, nums, overflows)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_spatial_fn(mesh: Mesh, axis: str, s: int, ccfg: ClusteringConfig,
-                     pcfg: PipelineConfig, scfg: SpatialConfig):
+                     pcfg: PipelineConfig, scfg: SpatialConfig,
+                     data_axis: str | None = None):
     cap = scfg.block_points
     l_cap = scfg.block_clusters
     h_cap = scfg.halo_points
@@ -158,9 +179,8 @@ def _make_spatial_fn(mesh: Mesh, axis: str, s: int, ccfg: ClusteringConfig,
     local_ccfg = dataclasses.replace(
         ccfg, min_cluster_size=1, max_cluster_size=2**32 - 1)
 
-    def block_body(bx, bo, bv, x_lo, w):
-        # per-shard shapes: bx (1,cap,3), bo/bv (1,cap); scalars replicated
-        bx, bo, bv = bx[0], bo[0], bv[0]
+    def block_core(bx, bo, bv, x_lo, w):
+        # bx (cap,3), bo/bv (cap,); x_lo/w per-frame scalars
         i = jax.lax.axis_index(axis)
 
         res = sx.cluster(bx, bv, local_ccfg, block_pcfg)
@@ -260,9 +280,14 @@ def _make_spatial_fn(mesh: Mesh, axis: str, s: int, ccfg: ClusteringConfig,
         final = jnp.where(labeled, root_label[pt_root], CLUSTER_UNDEFINED)
 
         my_overflow = (res.overflow + lab_overflow + ovf_r + ovf_l + ovf_c)
-        return (final[None], bo[None],
-                jnp.full((1,), num_clusters, jnp.int32),
-                jnp.full((1,), my_overflow, jnp.int32))
+        return (final, bo, num_clusters, my_overflow)
+
+    def block_body(bx, bo, bv, x_lo, w):
+        # per-shard shapes: bx (1,cap,3), bo/bv (1,cap); scalars replicated
+        final, bo_, num, ovf = block_core(bx[0], bo[0], bv[0], x_lo, w)
+        return (final[None], bo_[None],
+                jnp.full((1,), num, jnp.int32),
+                jnp.full((1,), ovf, jnp.int32))
 
     sharded = shard_map(
         block_body, mesh=mesh,
@@ -285,4 +310,48 @@ def _make_spatial_fn(mesh: Mesh, axis: str, s: int, ccfg: ClusteringConfig,
             jnp.where(forig >= 0, forig, n)].set(flab, mode="drop")
         return out, nums[0], ovf_d + jnp.sum(ovfs)
 
-    return run
+    if data_axis is None:
+        return run
+
+    # ---- 2-D hosts x chips variant: frames over `data_axis`, each -------
+    # frame's x-bands over `axis`. The space-axis collectives inside
+    # block_core are untouched — the data axis is a pure batch axis
+    # (frames are independent, exactly the reference's two-process frame
+    # pipelining, ref: src/processor.cpp:93-100 / launch.sh:12-16).
+    def block_body_2d(bx, bo, bv, x_lo, w):
+        # per-shard: bx (1,1,cap,3), bo/bv (1,1,cap), x_lo/w (1,)
+        final, bo_, num, ovf = block_core(
+            bx[0, 0], bo[0, 0], bv[0, 0], x_lo[0], w[0])
+        return (final[None, None], bo_[None, None],
+                jnp.full((1, 1), num, jnp.int32),
+                jnp.full((1, 1), ovf, jnp.int32))
+
+    sharded_2d = shard_map(
+        block_body_2d, mesh=mesh,
+        in_specs=(P(data_axis, axis), P(data_axis, axis),
+                  P(data_axis, axis), P(data_axis), P(data_axis)),
+        out_specs=(P(data_axis, axis), P(data_axis, axis),
+                   P(data_axis, axis), P(data_axis, axis)),
+        check_vma=False)
+
+    @jax.jit
+    def run_2d(xyzs, valids):
+        b, n = xyzs.shape[0], xyzs.shape[1]
+        bx, bo, bv, x_lo, w, ovf_d = jax.vmap(
+            lambda x, v: _distribute(x, v, s, cap, r))(xyzs, valids)
+        sh = NamedSharding(mesh, P(data_axis, axis))
+        bx = jax.lax.with_sharding_constraint(bx, sh)
+        bo = jax.lax.with_sharding_constraint(bo, sh)
+        bv = jax.lax.with_sharding_constraint(bv, sh)
+        flab, forig, nums, ovfs = sharded_2d(bx, bo, bv, x_lo, w)
+        flab = flab.reshape(b, -1)
+        forig = forig.reshape(b, -1)
+
+        def reassemble(fl, fo):
+            return jnp.full((n,), CLUSTER_UNDEFINED, jnp.int32).at[
+                jnp.where(fo >= 0, fo, n)].set(fl, mode="drop")
+
+        out = jax.vmap(reassemble)(flab, forig)
+        return out, nums[:, 0], ovf_d + jnp.sum(ovfs, axis=1)
+
+    return run_2d

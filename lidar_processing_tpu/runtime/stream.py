@@ -11,8 +11,12 @@ The TPU-native equivalent collapses the process boundary: frames are
 preloaded into device HBM once (260 MB for the full sequence — cheaper than
 crossing a host boundary per frame), and the replay loop indexes into the
 resident buffer, so the steady state has zero host->device traffic. The DDS
-depth-2 queue semantics become a bounded in-flight window: at most
-`queue_depth` dispatched-but-unconsumed frames, dropping oldest on overrun.
+depth-2 queue semantics are kept in realtime mode via a publication clock:
+frames "publish" at replay_rate_hz regardless of consumer progress, and
+only the newest `queue_depth` unconsumed publications are retained — a slow
+consumer sees dropped frames (gaps, counted in FrameMetrics.frames_dropped),
+not growing lag. Non-realtime mode processes every frame through a bounded
+`queue_depth`-deep in-flight pipeline window.
 Per-stage metrics mirror the reference's RCLCPP_INFO timing logs
 (ref: src/processor.cpp:167-171,204-207,218-219).
 """
@@ -29,7 +33,7 @@ import numpy as np
 
 from ..config import EngineConfig
 from ..io.dataset import list_frames, preload_padded
-from .pipeline import FrameOutputs, FrameResult, device_frame_step, host_outputs
+from .pipeline import device_frame_step_packed, host_outputs_packed
 
 
 @dataclasses.dataclass
@@ -45,6 +49,10 @@ class FrameMetrics:
     num_outlines: int
     overflow: int
     deadline_missed: bool     # frame exceeded the replay period
+    # frames dropped immediately before this one because the in-flight
+    # window was full when they were published (realtime mode only —
+    # DDS QoS keep-last-`queue_depth`, ref: src/processor.cpp:69-73)
+    frames_dropped: int = 0
     # per-stage device times (stage_timing=True only; mirrors the
     # reference's separate seg/cluster/polygonize logs,
     # ref: src/processor.cpp:167-168,204-205,218-219)
@@ -70,6 +78,9 @@ class ReplayStream:
         cap = config.pipeline.max_points
         xyz, inten, counts = preload_padded(paths, cap)
         dev = device or jax.devices()[0]
+        # intensity rides along on host for output passthrough
+        # (ref: src/dataloader.cpp:106-110 schema carries intensity)
+        self.intensity = inten
         # whole sequence resident in HBM
         self.xyz = jax.device_put(jnp.asarray(xyz), dev)
         mask = np.zeros(xyz.shape[:2], bool)
@@ -82,9 +93,11 @@ class ReplayStream:
         cfg = self.config
 
         @jax.jit
-        def _step(frame_idx: jnp.ndarray) -> FrameResult:
-            return device_frame_step(self.xyz[frame_idx],
-                                     self.mask[frame_idx], cfg)
+        def _step(frame_idx: jnp.ndarray) -> jnp.ndarray:
+            # packed single-buffer payload: ONE device->host DMA per frame
+            # instead of ~20 per-leaf transfers (see pipeline.py)
+            return device_frame_step_packed(self.xyz[frame_idx],
+                                            self.mask[frame_idx], cfg)
 
         self._step = _step
         self._stage_fns = None
@@ -128,17 +141,32 @@ class ReplayStream:
         self.warmup()
         if stage_timing and self._stage_fns is None:
             self._build_stage_fns()
-        inflight: List = []   # (frame_id, dispatch_time, FrameResult, stages)
+        inflight: List = []   # (fid, dispatch_time, FrameResult, stages, drops)
         depth = self.config.pipeline.queue_depth
-        next_t = time.perf_counter()
+        produced = 0
+        seq = 0               # publication sequence number (cyclic fids)
+        t_start = time.perf_counter()
 
-        for k in range(num_frames):
-            fid = k % self.num_frames
+        while produced < num_frames:
+            dropped_before = 0
             if realtime:
+                # publication clock: the dataloader publishes seq k at
+                # t_start + k*period regardless of consumer progress
+                # (ref: src/dataloader.cpp:30,80-81). With QoS
+                # keep-last-`depth` (ref: src/processor.cpp:69-73), frames
+                # published beyond the window while the consumer was busy
+                # are DROPPED — a slow consumer sees gaps, not lag.
                 now = time.perf_counter()
-                if now < next_t:
-                    time.sleep(next_t - now)
-                next_t += period
+                published = int((now - t_start) / period) + 1
+                if published <= seq:
+                    time.sleep(t_start + seq * period - now)
+                    published = seq + 1
+                newest_kept = max(seq, published - depth)
+                dropped_before = newest_kept - seq
+                seq = newest_kept
+            fid = seq % self.num_frames
+            seq += 1
+            produced += 1
             t0 = time.perf_counter()
             stages = None
             if stage_timing:
@@ -150,7 +178,8 @@ class ReplayStream:
                 t_cl = time.perf_counter()
                 stages = (t_seg - t0, t_cl - t_seg)
             fr = self._step(jnp.int32(fid))
-            inflight.append((fid, t0, fr, stages))
+            fr.copy_to_host_async()   # overlap the DMA with the window
+            inflight.append((fid, t0, fr, stages, dropped_before))
             # bounded window: consume oldest once the queue is full
             while len(inflight) > depth:
                 yield self._consume(inflight.pop(0), period,
@@ -159,22 +188,13 @@ class ReplayStream:
             yield self._consume(inflight.pop(0), period, with_outlines)
 
     def _consume(self, item, period: float, with_outlines: bool):
-        fid, t0, fr, stages = item
-        jax.block_until_ready(fr.clustering.labels)
+        fid, t0, fr, stages, dropped_before = item
+        jax.block_until_ready(fr)
         t1 = time.perf_counter()
         n = int(self.counts[fid])
-        if with_outlines:
-            out = host_outputs(fr, self.config, n)
-        else:
-            out = FrameOutputs(
-                seg_labels=np.asarray(fr.seg.labels)[:n],
-                cluster_labels=np.asarray(fr.clustering.labels)[:n],
-                num_clusters=int(fr.clustering.num_clusters),
-                outlines=[],
-                outline_cluster_ids=[],
-                outline_z_extents=[],
-                overflow=int(fr.clustering.overflow),
-            )
+        inten = self.intensity[fid, :n]
+        out = host_outputs_packed(fr, self.config, n, intensity=inten,
+                                  with_outlines=with_outlines)
         t2 = time.perf_counter()
         seg = out.seg_labels
         t_seg = t_cl = t_hull = None
@@ -195,6 +215,7 @@ class ReplayStream:
             num_outlines=len(out.outlines),
             overflow=out.overflow,
             deadline_missed=(t1 - t0) > period,
+            frames_dropped=dropped_before,
             t_seg_ms=t_seg, t_cluster_ms=t_cl, t_hull_ms=t_hull,
         )
         return out, metrics

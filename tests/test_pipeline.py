@@ -54,6 +54,42 @@ class TestFramePipeline:
             assert zmin == pytest.approx(pts[:, 2].min(), abs=1e-6)
             assert zmax == pytest.approx(pts[:, 2].max(), abs=1e-6)
 
+    def test_packed_payload_matches_exact(self, frame0, frame0_outputs):
+        """The streaming single-buffer payload path reproduces the exact
+        readout: labels/counters bit-identical, outlines within the 2 mm
+        quantization grid (runtime/pipeline.py payload section)."""
+        from lidar_processing_tpu.runtime.pipeline import (
+            device_frame_step_packed, host_outputs_packed)
+        cfg = DEFAULT_CONFIG
+        pc = pad_cloud(frame0, None, cfg.pipeline.max_points)
+        pay = device_frame_step_packed(jnp.asarray(pc.xyz),
+                                       jnp.asarray(pc.mask), cfg)
+        packed = host_outputs_packed(pay, cfg, frame0.shape[0])
+        exact = frame0_outputs
+        np.testing.assert_array_equal(packed.seg_labels, exact.seg_labels)
+        np.testing.assert_array_equal(packed.cluster_labels,
+                                      exact.cluster_labels)
+        assert packed.num_clusters == exact.num_clusters
+        assert packed.overflow == exact.overflow == 0
+        assert len(packed.outlines) == len(exact.outlines)
+        assert packed.outline_cluster_ids == exact.outline_cluster_ids
+        from lidar_processing_tpu.oracle.diff import polygon_chamfer
+        worst = 0.0
+        for a, b in zip(exact.outlines, packed.outlines):
+            # chi-shape vertex COUNTS are threshold-sensitive (a 2 mm
+            # perturbation can open/close a concave pocket); the geometry
+            # itself must agree to ~the quantization grid
+            if len(a) >= 3 and len(b) >= 3:
+                worst = max(worst, polygon_chamfer(
+                    np.asarray(a), np.asarray(b)))
+        # same bound as the native-vs-scipy chi parity tests: a sub-mm
+        # perturbation can flip a threshold-straddling concave pocket
+        assert worst < 0.05, worst
+        for (a0, a1), (b0, b1) in zip(exact.outline_z_extents,
+                                      packed.outline_z_extents):
+            assert a0 == pytest.approx(b0, abs=1e-6)
+            assert a1 == pytest.approx(b1, abs=1e-6)
+
     def test_convex_outline_mode(self, frame0):
         """polygonizer_concave=False routes every large cluster through the
         convex path with Chan above chan_threshold

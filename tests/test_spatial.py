@@ -101,6 +101,43 @@ class TestClusterSpatial:
                                   DEFAULT_CONFIG.spatial)
         assert_identical(spatial, single)
 
+    def test_2d_mesh_data_x_space(self, rng):
+        """SURVEY §7 step 6: hosts x chips 2-D mesh — frames over 'data',
+        each frame's x-bands over 'space'. Per-frame labels bit-identical
+        to the single-device path."""
+        from jax.sharding import Mesh
+        from lidar_processing_tpu.parallel.spatial import cluster_spatial_2d
+        cfg = DEFAULT_CONFIG
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                    ("data", "space"))
+        npad = 4096
+        frames = []
+        for f in range(2):
+            rail = rng.uniform([-30, 0, 0], [30, 0.1, 0.1], (1000, 3))
+            centers = rng.uniform([-25, -25, -1], [25, 25, 1], (250, 3))
+            blobs = (rng.normal(0, 0.15, (1000, 3))
+                     + np.repeat(centers, 4, axis=0))
+            xyz = np.concatenate([rail, blobs]).astype(np.float32)
+            frames.append(pad_cloud(xyz, None, npad))
+        xyzs = jnp.stack([f.xyz for f in frames])
+        valids = jnp.stack([f.mask for f in frames])
+
+        pcfg = dataclasses.replace(cfg.pipeline, max_points=npad)
+        scfg = SpatialConfig(block_points=2048, block_clusters=512,
+                             halo_points=512,
+                             block_cells=2048, block_columns=1024,
+                             block_supernodes=1536,
+                             block_column_pairs=4096,
+                             block_sn_pairs=4096, block_live_edges=1024)
+        res = cluster_spatial_2d(mesh, xyzs, valids, cfg.clustering,
+                                 pcfg, scfg)
+        for f in range(2):
+            single = sx.cluster(xyzs[f], valids[f], cfg.clustering, pcfg)
+            np.testing.assert_array_equal(np.asarray(res.labels[f]),
+                                          np.asarray(single.labels))
+            assert int(res.num_clusters[f]) == int(single.num_clusters)
+            assert int(res.overflow[f]) == 0
+
     @pytest.mark.skipif(os.environ.get("LIDAR_RUN_1M") != "1",
                         reason="set LIDAR_RUN_1M=1 (CPU runtime: minutes)")
     def test_synthetic_1m_points(self, rng):

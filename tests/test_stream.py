@@ -82,6 +82,42 @@ class TestReplayStream:
         results = list(stream.run(3, realtime=True, with_outlines=False))
         assert all(m.deadline_missed for _, m in results)
 
+    def test_qos_slow_consumer_drops_not_lags(self, tiny_dataset):
+        """DDS keep-last-2: a slow consumer sees frame GAPS, not growing
+        lag (ref: src/processor.cpp:69-73 QoS depth-2 keep-last)."""
+        import time
+
+        from lidar_processing_tpu.runtime.stream import ReplayStream
+        d, _ = tiny_dataset
+        cfg = tiny_cfg()
+        # 200 Hz publication, consumer takes ~25 ms/frame => ~5 pubs per
+        # consume, window keeps the newest 2 => drops every cycle
+        pcfg = dataclasses.replace(cfg.pipeline, replay_rate_hz=200.0)
+        stream = ReplayStream(cfg.replace(pipeline=pcfg), data_dir=d)
+        stream.warmup()
+        t_end = time.perf_counter()
+        dropped = 0
+        n_out = 0
+        for out, m in stream.run(12, realtime=True, with_outlines=False):
+            time.sleep(0.025)        # slow consumer
+            dropped += m.frames_dropped
+            n_out += 1
+            t_end = time.perf_counter()
+        assert n_out == 12           # every *retained* frame delivered
+        assert dropped > 0           # but publications were dropped
+        # lag bound: 12 frames at 25 ms consumer time each ~ 0.3 s; an
+        # unbounded queue at 200 Hz would have to wait for 12 publications
+        # THEN consume (fine) — the real check is drops occurred while
+        # the per-frame dispatch never waited behind a growing backlog.
+
+    def test_non_realtime_processes_every_frame(self, tiny_dataset):
+        from lidar_processing_tpu.runtime.stream import ReplayStream
+        d, _ = tiny_dataset
+        stream = ReplayStream(tiny_cfg(), data_dir=d)
+        results = list(stream.run(6, with_outlines=False))
+        assert [m.frame_id for _, m in results] == [0, 1, 2, 0, 1, 2]
+        assert all(m.frames_dropped == 0 for _, m in results)
+
 
 class TestExport:
     def test_export_frame_artifacts(self, tiny_dataset, tmp_path):
@@ -107,6 +143,40 @@ class TestExport:
             v = poly["vertices"]
             assert v[0] == v[-1]               # closed, ref conversions.hpp:117
             assert poly["cluster_id"] >= 0
+
+    def test_intensity_passthrough_roundtrip(self, tmp_path):
+        """Intensity rides the full path: PCD -> preload -> FrameOutputs ->
+        PLY export -> read-back (ref schema src/dataloader.cpp:106-110)."""
+        from lidar_processing_tpu.io.export import (export_frame,
+                                                    read_ply_xyzrgb)
+        from lidar_processing_tpu.runtime.stream import ReplayStream
+        d = tmp_path / "frames"
+        d.mkdir()
+        rng = np.random.default_rng(3)
+        n = 300
+        ground = rng.uniform([-10, -10, -1.75], [10, 10, -1.7], (n - 40, 3))
+        box = rng.uniform([-.5, -.5, -1.2], [.5, .5, 0], (40, 3)) + [3, 3, 0]
+        xyz = np.concatenate([ground, box]).astype(np.float32)
+        inten = np.arange(n, dtype=np.float32) * 0.25
+        write_pcd_xyzi(d / "0000000000.pcd", xyz, inten)
+
+        stream = ReplayStream(tiny_cfg(), data_dir=str(d))
+        (out, m), = list(stream.run(1))
+        assert out.intensity is not None
+        np.testing.assert_allclose(out.intensity, inten)
+
+        xyz_r = np.asarray(stream.xyz[0])[:n]
+        paths = export_frame(str(tmp_path), 0, xyz_r, out.seg_labels,
+                             out.cluster_labels, out.outlines,
+                             out.outline_cluster_ids,
+                             intensity=out.intensity)
+        # ground PLY carries the ground points' intensities, bit-exact
+        _, _, i_ground = read_ply_xyzrgb(paths[0])
+        np.testing.assert_array_equal(
+            i_ground, inten[out.seg_labels == 1])
+        _, _, i_obst = read_ply_xyzrgb(paths[1])
+        np.testing.assert_array_equal(
+            i_obst, inten[out.seg_labels == 2])
 
     def test_cluster_colors_deterministic(self):
         from lidar_processing_tpu.io.export import cluster_colors
