@@ -115,9 +115,11 @@ def sharded_pipeline_2d(mesh: Mesh, xyzs, masks, config: EngineConfig):
     """
     from .spatial import cluster_spatial_2d
     b = xyzs.shape[0]
-    if b % mesh.shape["data"] != 0:
+    if b != mesh.shape["data"]:
+        # the space-axis shard_map sees exactly one frame per data shard
         raise ValueError(
-            f"batch {b} not divisible by data axis {mesh.shape['data']}")
+            f"batch {b} must equal the data axis size "
+            f"{mesh.shape['data']} (chunk larger batches)")
     with mesh:
         seg, obstacle = _seg_step_2d(mesh, xyzs, masks, config)
         cl = cluster_spatial_2d(mesh, xyzs, obstacle, config.clustering,

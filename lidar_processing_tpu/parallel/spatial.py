@@ -337,6 +337,8 @@ def _make_spatial_fn(mesh: Mesh, axis: str, s: int, ccfg: ClusteringConfig,
     @jax.jit
     def run_2d(xyzs, valids):
         b, n = xyzs.shape[0], xyzs.shape[1]
+        assert b == mesh.shape[data_axis], (
+            f"batch {b} != data axis {mesh.shape[data_axis]}")
         bx, bo, bv, x_lo, w, ovf_d = jax.vmap(
             lambda x, v: _distribute(x, v, s, cap, r))(xyzs, valids)
         sh = NamedSharding(mesh, P(data_axis, axis))

@@ -138,6 +138,62 @@ class TestClusterSpatial:
             assert int(res.num_clusters[f]) == int(single.num_clusters)
             assert int(res.overflow[f]) == 0
 
+    def test_full_pipeline_spatial(self, rng):
+        """device_frame_step_spatial (SURVEY §7 step 6: GPF + clustering
+        both under the space axis): seg within the documented f32-psum
+        tolerance of the single-device step; clustering bit-identical on
+        the sharded seg's own obstacle mask; hull stage consistent."""
+        from lidar_processing_tpu.parallel.frame_spatial import (
+            device_frame_step_spatial, gpf_spatial)
+        from lidar_processing_tpu.runtime.pipeline import device_frame_step
+        import math
+        cfg = DEFAULT_CONFIG
+        npad = 4096
+        rail = rng.uniform([-30, 0, 0], [30, 0.1, 0.1], (800, 3))
+        centers = rng.uniform([-25, -25, -0.8], [25, 25, 0.5], (200, 3))
+        blobs = (rng.normal(0, 0.15, (800, 3))
+                 + np.repeat(centers, 4, axis=0))
+        ground = rng.uniform([-30, -30, -1.78], [30, 30, -1.70], (1500, 3))
+        xyz = np.concatenate([ground, rail, blobs]).astype(np.float32)
+        pc = pad_cloud(xyz, None, npad)
+        n = xyz.shape[0]
+
+        pcfg = dataclasses.replace(
+            cfg.pipeline, max_points=npad, max_obstacle_points=npad)
+        scfg = SpatialConfig(block_points=2048, block_clusters=512,
+                             halo_points=512,
+                             block_cells=2048, block_columns=1024,
+                             block_supernodes=1536,
+                             block_column_pairs=4096,
+                             block_sn_pairs=4096, block_live_edges=1024)
+        tcfg = cfg.replace(pipeline=pcfg, spatial=scfg)
+        mesh = mesh8()
+
+        # seg: within f32-psum wobble of the single-device labels
+        with mesh:
+            seg_sp = gpf_spatial(mesh, pc.xyz, pc.mask, tcfg.segmentation,
+                                 scfg, math.sqrt(
+                                     tcfg.clustering.distance_squared))
+        single = device_frame_step(pc.xyz, pc.mask, tcfg)
+        seg_diff = int(np.sum(np.asarray(seg_sp.labels)[:n]
+                              != np.asarray(single.seg.labels)[:n]))
+        assert seg_diff <= max(2, n // 1000), seg_diff
+
+        # full spatial step: clustering bit-identical to the single-device
+        # clustering of the SAME (sharded) obstacle mask
+        fr = device_frame_step_spatial(mesh, pc.xyz, pc.mask, tcfg)
+        from lidar_processing_tpu.types import SEG_OBSTACLE as OB
+        obst = pc.mask & (np.asarray(fr.seg.labels) == OB)
+        ref_cl = sx.cluster(pc.xyz, jnp.asarray(obst), tcfg.clustering,
+                            pcfg)
+        np.testing.assert_array_equal(np.asarray(fr.clustering.labels),
+                                      np.asarray(ref_cl.labels))
+        assert int(fr.clustering.overflow) == 0
+        assert int(fr.hull_overflow) == 0
+        # hull stage emitted one slot per cluster
+        assert (int(fr.n_small) + int(fr.n_large)
+                == int(fr.clustering.num_clusters))
+
     @pytest.mark.skipif(os.environ.get("LIDAR_RUN_1M") != "1",
                         reason="set LIDAR_RUN_1M=1 (CPU runtime: minutes)")
     def test_synthetic_1m_points(self, rng):
