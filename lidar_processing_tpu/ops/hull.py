@@ -86,9 +86,10 @@ def label_runs(xyz: jnp.ndarray, labels: jnp.ndarray,
                      jnp.minimum(num, num_slots), overflow)
 
 
-@functools.partial(jax.jit, static_argnames=("num_slots",))
+@functools.partial(jax.jit, static_argnames=("num_slots", "orig_bound"))
 def label_runs_presorted(xyz: jnp.ndarray, labels: jnp.ndarray,
-                         orig: jnp.ndarray, num_slots: int) -> LabelRuns:
+                         orig: jnp.ndarray, num_slots: int,
+                         orig_bound: int = 0) -> LabelRuns:
     """label_runs over an already-compacted labeled buffer.
 
     Used by the fused pipeline: the clustering stage hands over its
@@ -101,8 +102,21 @@ def label_runs_presorted(xyz: jnp.ndarray, labels: jnp.ndarray,
     n = xyz.shape[0]
     valid = (labels >= 0) & (labels < num_slots)
     key = jnp.where(valid, labels, num_slots)
-    skey, _, sx_, sy_, sz_ = jax.lax.sort(
-        (key, orig, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=2)
+    # label and orig pack into ONE sort key when the ranges allow (the
+    # standard config: 1537 slot values x orig < 2^17 < 2^31): one operand
+    # fewer AND a single-key sort. orig is bounded by the ORIGINAL cloud
+    # size — pass it via orig_bound; without it, fall back conservatively
+    # to 4x the compacted buffer (the padded cloud is <= 2x the obstacle
+    # buffer in every shipped config).
+    shift = max(17, ((orig_bound or 4 * n) - 1).bit_length())
+    if (num_slots + 1) << shift <= (1 << 31):
+        packed = key * jnp.int32(1 << shift) + orig
+        pk, sx_, sy_, sz_ = jax.lax.sort(
+            (packed, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
+        skey = pk >> shift
+    else:
+        skey, _, sx_, sy_, sz_ = jax.lax.sort(
+            (key, orig, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=2)
     sorted_xyz = jnp.stack([sx_, sy_, sz_], axis=1)
     num = jnp.max(jnp.where(valid, labels, -1)) + 1
     num = jnp.minimum(num, num_slots)

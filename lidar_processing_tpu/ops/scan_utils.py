@@ -99,13 +99,22 @@ def compact_mask(mask: jnp.ndarray, capacity: int
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pack the indices where mask is True into a (capacity,) buffer.
 
-    Returns (indices, count, overflow). Overflowing entries are dropped.
+    Returns (indices, count, overflow). Overflowing entries are dropped;
+    slots beyond the count hold 0.
+
+    ONE single-operand sort (flagged positions to the front) instead of
+    the cumsum+scatter formulation: TPU scatters cost ~7 ns per INPUT
+    element (0.32 ms at the 65k pair lists this packs), single-operand
+    sorts ~0.3 ns/element (traced fusion.107/104 vs sort cost — the same
+    trade as run_starts).
     """
     n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = jnp.arange(n, dtype=jnp.int32)
+    flagged = jnp.where(mask, pos, jnp.int32(jnp.iinfo(jnp.int32).max))
+    s = jax.lax.sort(flagged)
+    take = s[:capacity] if capacity <= n else jnp.concatenate(
+        [s, jnp.full((capacity - n,), jnp.iinfo(jnp.int32).max, jnp.int32)])
     count = jnp.sum(mask.astype(jnp.int32))
-    tgt = jnp.where(mask & (pos < capacity), pos, capacity)
-    idx = jnp.zeros((capacity,), jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    idx = jnp.where(jnp.arange(capacity, dtype=jnp.int32) < count, take, 0)
     overflow = jnp.maximum(count - capacity, 0)
     return idx, jnp.minimum(count, capacity), overflow

@@ -154,14 +154,15 @@ class _CellTable(NamedTuple):
     col_id: jnp.ndarray    # (M,)
     aabb: jnp.ndarray      # (M,6) minx..maxz
     min_orig: jnp.ndarray  # (M,)
+    rep: jnp.ndarray       # (M,3) first point of each cell (run start row)
+    key: jnp.ndarray       # (M,) full grid key (carried, not re-gathered)
     n_cells: jnp.ndarray
     overflow: jnp.ndarray
 
 
 def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
-                 ) -> Tuple[_CellTable, jnp.ndarray, jnp.ndarray]:
-    """Cell/column run structure. Returns (cells, cell_id_per_point,
-    col_id_per_point)."""
+                 ) -> Tuple[_CellTable, jnp.ndarray]:
+    """Cell/column run structure. Returns (cells, cell_id_per_point)."""
     no = sp.key.shape[0]
     m = pcfg.max_cells
     valid = sp.key != _IMAX
@@ -170,10 +171,6 @@ def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
     cell_id = jnp.cumsum(new_cell.astype(jnp.int32)) - 1
     n_cells = jnp.sum(new_cell.astype(jnp.int32))
 
-    colkey = sp.key // _GZ
-    prev_col = jnp.concatenate([jnp.array([-1], jnp.int32), colkey[:-1]])
-    new_col = valid & (colkey != prev_col)
-    col_id = jnp.cumsum(new_col.astype(jnp.int32)) - 1
 
     # run aggregates via ONE scatter-min into the cell table: min xyz /
     # -max xyz / min orig (measured faster than the reverse segmented scan
@@ -189,9 +186,22 @@ def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
     agg_c = jnp.full((m, 7), _F_BIG, jnp.float32).at[tgt].min(
         pack, mode="drop")                            # (M,7)
 
-    starts = run_starts(new_cell, m)         # (M,)
+    # run-start table WITH payloads: the multi-operand sort carries each
+    # run-start row's key/col/xyz directly (~0.3 ns/elem/operand), replacing
+    # four table gathers at ~7 ns/index (traced fusion.5/6/25 hot spots)
+    pos = jnp.arange(no, dtype=jnp.int32)
+    flagged = jnp.where(new_cell, pos, _IMAX)
+    sorted5 = jax.lax.sort(
+        (flagged, sp.key, sp.xyz[:, 0], sp.xyz[:, 1], sp.xyz[:, 2]),
+        num_keys=1)
+    if m <= no:
+        s_pos, s_key, s_x, s_y, s_z = (a[:m] for a in sorted5)
+    else:
+        s_pos, s_key, s_x, s_y, s_z = (
+            jnp.concatenate([a, jnp.full((m - no,), f, a.dtype)])
+            for a, f in zip(sorted5, (_IMAX, _IMAX, 0.0, 0.0, 0.0)))
+    starts = jnp.minimum(s_pos, no)
     slot_valid = jnp.arange(m, dtype=jnp.int32) < n_cells
-    start_c = jnp.clip(starts, 0, no - 1)
     # end = start of the next cell (cells are consecutive in sorted order)
     nxt = jnp.concatenate([starts[1:], jnp.array([no], jnp.int32)])
     end = jnp.where(slot_valid, jnp.where(
@@ -199,14 +209,18 @@ def _build_cells(sp: _SortedPoints, pcfg: PipelineConfig
     start = jnp.where(slot_valid, starts, no)
     count = jnp.maximum(end - start, 0)
 
-    cell_key = jnp.where(slot_valid, sp.key[start_c], _IMAX)
-    cell_col = jnp.where(slot_valid, col_id[start_c], _IMAX)
+    cell_key = jnp.where(slot_valid, s_key, _IMAX)
+    # column identity derives from the key (col_id stores the column KEY;
+    # it is only ever compared for equality between neighboring cells)
+    cell_col = jnp.where(slot_valid, s_key // _GZ, _IMAX)
+    rep = jnp.stack([s_x, s_y, s_z], axis=1)
     aabb = jnp.concatenate([agg_c[:, 0:3], -agg_c[:, 3:6]], axis=1)
     min_orig = jnp.where(slot_valid, agg_c[:, 6].astype(jnp.int32), _IMAX)
     overflow = jnp.maximum(n_cells - m, 0)
     tbl = _CellTable(start, end, count, cell_key % _GZ, cell_col, aabb,
-                     min_orig, jnp.minimum(n_cells, m), overflow)
-    return tbl, cell_id, col_id
+                     min_orig, rep, cell_key, jnp.minimum(n_cells, m),
+                     overflow)
+    return tbl, cell_id
 
 
 def _stacked_windows(sp_xyz, starts, counts, fill, cap: int, sr: int):
@@ -343,8 +357,12 @@ def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int,
     # inactive rows sort last, after any unassigned-but-active rows
     tier_id = jnp.where(act_, tier_id, len(tiers) + 1)
 
-    key, s_us, s_uc, s_vs, s_vc, s_slot = jax.lax.sort(
-        (tier_id, o_us, o_uc, o_vs, o_vc, slot_), num_keys=1)
+    # pack (start, count) per side into one operand: starts < 2^17 and
+    # ACTIVE counts <= 288 < 512 (larger pairs were chunked or overflow-
+    # counted above); inactive rows clamp — they are masked on read
+    key, s_usuc, s_vsvc, s_slot = jax.lax.sort(
+        (tier_id, o_us * 512 + jnp.minimum(o_uc, 511),
+         o_vs * 512 + jnp.minimum(o_vc, 511), slot_), num_keys=1)
     n_in_tier = [jnp.sum((tier_id == t).astype(jnp.int32))
                  for t in range(len(tiers))]
     starts = [jnp.int32(0)]
@@ -366,10 +384,12 @@ def _tiered_exact(sp_xyz, pt: _PairTest, r2: float, n_results: int,
         def sl(arr):
             return jax.lax.dynamic_slice(arr, (starts[t],), (slots,))
 
-        us = jnp.where(tier_active, sl(s_us), 0)
-        uc = jnp.where(tier_active, sl(s_uc), 0)
-        vs = jnp.where(tier_active, sl(s_vs), 0)
-        vc = jnp.where(tier_active, sl(s_vc), 0)
+        usuc = sl(s_usuc)
+        vsvc = sl(s_vsvc)
+        us = jnp.where(tier_active, usuc >> 9, 0)
+        uc = jnp.where(tier_active, usuc & 511, 0)
+        vs = jnp.where(tier_active, vsvc >> 9, 0)
+        vc = jnp.where(tier_active, vsvc & 511, 0)
         dbg_idx.append(us.sum() + vs.sum())
         pu = _stacked_windows(sp_xyz, us, uc, _F_BIG, u_cap, sr=8)
         dbg_win.append(sum(w.sum() for w in pu))
@@ -425,37 +445,53 @@ def _build_supernodes(sp, cells: _CellTable, link1: jnp.ndarray,
     agg_s = jnp.full((s, 7), _F_BIG, jnp.float32).at[tgt].min(
         pack, mode="drop")                                # (S,7)
 
-    first_cell = run_starts(new_sn, s)        # (S,) cell ids
+    # run-start table WITH payloads (as in _build_cells): carry each first
+    # cell's point start + rep coordinates through the sort instead of
+    # re-gathering them afterwards
+    pos_m = jnp.arange(m, dtype=jnp.int32)
+    flagged = jnp.where(new_sn, pos_m, _IMAX)
+    sorted5 = jax.lax.sort(
+        (flagged, cells.start, cells.rep[:, 0], cells.rep[:, 1],
+         cells.rep[:, 2]), num_keys=1)
+    if s <= m:
+        f_pos, f_start, f_rx, f_ry, f_rz = (a[:s] for a in sorted5)
+    else:
+        f_pos, f_start, f_rx, f_ry, f_rz = (
+            jnp.concatenate([a, jnp.full((s - m,), f, a.dtype)])
+            for a, f in zip(sorted5, (_IMAX, no, 0.0, 0.0, 0.0)))
+    first_cell = jnp.minimum(f_pos, m)        # (S,) cell ids
     sn_valid = jnp.arange(s, dtype=jnp.int32) < n_sn
-    fc = jnp.clip(first_cell, 0, m - 1)
     nxt_first = jnp.concatenate([first_cell[1:], jnp.array([m], jnp.int32)])
     last_cell = jnp.where(
         jnp.arange(s, dtype=jnp.int32) == n_sn - 1, cells.n_cells, nxt_first
     ) - 1
     lc = jnp.clip(last_cell, 0, m - 1)
 
-    start = jnp.where(sn_valid, cells.start[fc], no)
+    start = jnp.where(sn_valid, f_start, no)
     end = jnp.where(sn_valid, cells.end[lc], no)
     count = jnp.maximum(end - start, 0)
     aabb = jnp.concatenate([agg_s[:, 0:3], -agg_s[:, 3:6]], axis=1)
     min_orig = jnp.where(sn_valid, agg_s[:, 6].astype(jnp.int32), _IMAX)
-    rep = sp.xyz[jnp.clip(start, 0, no - 1)]
+    rep = jnp.stack([f_rx, f_ry, f_rz], axis=1)
     # second rep at the supernode's TOP cell: the first-point "certain"
     # test then covers z-disjoint pairs in both stacking orders (u's top
     # probing v's bottom and vice versa), resolving most of the ambiguous
     # pairs that previously went to the exact block tests
-    rep2 = sp.xyz[jnp.clip(cells.start[lc], 0, no - 1)]
+    rep2 = cells.rep[lc]
     overflow = jnp.maximum(n_sn - s, 0)
     tbl = _SnTable(start, count, aabb, rep, rep2, min_orig, first_cell,
                    jnp.minimum(n_sn, s), overflow)
     return tbl, sn_of_cell
 
 
-def _column_pairs(col_key, n_cols, pcfg: PipelineConfig):
+def _column_pairs(col_key, n_cols, col_info, pcfg: PipelineConfig):
     """Sort-merge the 12-offset probes against occupied column keys.
 
-    Returns (u_col_slot, v_col_slot, n_pairs, overflow): pairs of COLUMN
-    table slots whose xy cells are 5x5-window neighbors. The merge key is
+    Returns (u_col_slot, v_col_slot, u_info, v_info, n_pairs, overflow):
+    pairs of COLUMN table slots whose xy cells are 5x5-window neighbors,
+    plus each side's `col_info` payload CARRIED through the sorts — extra
+    sort operands are ~0.3 ns/element while the two 40k-index gathers they
+    replace cost ~7 ns/index each (traced fusion.29/30). The merge key is
     packed as column_key * 2 + is_probe (column keys < 2^22), so ONE
     single-key sort both merges and orders hosts before their probes; the
     hit list is then packed by a second single-key sort on the miss flag —
@@ -469,37 +505,42 @@ def _column_pairs(col_key, n_cols, pcfg: PipelineConfig):
     iy = col_key % _GY
 
     probe_keys = []
-    probe_src = []
     for dx, dy in _XY_OFFSETS:
         nx2, ny2 = ix + dx, iy + dy
         ok = col_valid & (nx2 >= 0) & (nx2 < _GX) & (ny2 >= 0) & (ny2 < _GY)
         probe_keys.append(jnp.where(ok, (nx2 * _GY + ny2) * 2 + 1, _IMAX))
-        probe_src.append(jnp.arange(c, dtype=jnp.int32))
+    n_off = len(_XY_OFFSETS)
     pk = jnp.concatenate(probe_keys)
-    psrc = jnp.concatenate(probe_src)
+    psrc = jnp.tile(jnp.arange(c, dtype=jnp.int32), n_off)
     keys = jnp.concatenate([jnp.where(col_valid, col_key * 2, _IMAX), pk])
     tags = jnp.concatenate([jnp.arange(c, dtype=jnp.int32), psrc])
-    sk2, st2 = jax.lax.sort((keys, tags), num_keys=1)  # hosts before probes
-    # broadcast each host's slot over its equal-column run
+    infos = jnp.concatenate([col_info, jnp.tile(col_info, n_off)])
+    sk2, st2, si2 = jax.lax.sort((keys, tags, infos), num_keys=1)
+    # broadcast each host's slot + info over its equal-column run
     kcol = sk2 >> 1
     is_host = (sk2 != _IMAX) & ((sk2 & 1) == 0)
     host_slot = jnp.where(is_host, st2, _IMAX)
+    host_info = jnp.where(is_host, si2, 0)
     run_new = jnp.concatenate(
         [jnp.array([True]), kcol[1:] != kcol[:-1]])
     run_id = jnp.cumsum(run_new.astype(jnp.int32)) - 1
     host_bcast = seg_broadcast_first(host_slot, run_id)
+    hinfo_bcast = seg_broadcast_first(host_info, run_id)
     hit = (~is_host) & (sk2 != _IMAX) & (host_bcast != _IMAX)
 
-    _, u_s, v_s = jax.lax.sort(
+    _, u_s, v_s, ui_s, vi_s = jax.lax.sort(
         ((~hit).astype(jnp.int32), st2,
-         jnp.where(hit, host_bcast, 0)), num_keys=1)
+         jnp.where(hit, host_bcast, 0), si2,
+         jnp.where(hit, hinfo_bcast, 0)), num_keys=1)
     n_pairs = jnp.sum(hit.astype(jnp.int32))
     ovf = jnp.maximum(n_pairs - cp, 0)
     n_pairs = jnp.minimum(n_pairs, cp)
     live = jnp.arange(cp, dtype=jnp.int32) < n_pairs
     u_col = jnp.where(live, u_s[:cp], 0)
     v_col = jnp.where(live, v_s[:cp], 0)
-    return u_col, v_col, n_pairs, ovf
+    u_info = jnp.where(live, ui_s[:cp], 0)
+    v_info = jnp.where(live, vi_s[:cp], 0)
+    return u_col, v_col, u_info, v_info, n_pairs, ovf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pcfg"))
@@ -552,17 +593,21 @@ def _sort_points_full(xyz, obstacle, point_valid, orig, seg_labels,
     key = jnp.where(obstacle & ~coord_bad, key,
                     jnp.where(point_valid, _IMAX - 1, _IMAX))
 
-    sk, sx, sy, sz, so, sl = jax.lax.sort(
-        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], orig, seg_labels), num_keys=1)
+    # orig (< 2^17) and the 2-bit seg label pack into ONE sort operand
+    # (multi-operand sorts cost per operand; the unsort key stays a
+    # permutation-equivalent strictly-increasing key)
+    orig4 = orig * 4 + seg_labels
+    sk, sx, sy, sz, so4 = jax.lax.sort(
+        (key, xyz[:, 0], xyz[:, 1], xyz[:, 2], orig4), num_keys=1)
     n_obst = jnp.sum((key < _IMAX - 1).astype(jnp.int32))
     overflow = (jnp.sum(coord_bad.astype(jnp.int32))
                 + jnp.maximum(n_obst - no, 0))
     slice_key = jnp.where(jnp.arange(no, dtype=jnp.int32) < n_obst,
                           sk[:no], _IMAX)
     sp = _SortedPoints(jnp.stack([sx[:no], sy[:no], sz[:no]], axis=1),
-                       slice_key, so[:no],
+                       slice_key, so4[:no] >> 2,
                        jnp.minimum(n_obst, no), overflow)
-    return sp, sk, so, sl
+    return sp, sk, so4, so4 & 3
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pcfg"))
@@ -588,14 +633,14 @@ def cluster_fused(xyz_s, obstacle_s, point_valid_s, orig_s, seg_labels_s,
     cl_plus2 = jnp.concatenate([
         jnp.where(pt_valid, pt_label + 2, 0),
         jnp.zeros((n - no,), jnp.int32)])
-    packed = jnp.where(key_full != _IMAX, seg_full | (cl_plus2 << 2), 0)
-    # orig_full is a PERMUTATION of [0, n) (the original index carried
-    # through every sort), so the unsort is an inverse permutation — ONE
-    # 2-operand sort instead of a full-cloud scatter (~5x cheaper)
-    _, out_packed = jax.lax.sort((orig_full, packed), num_keys=1)
-    seg_out = out_packed & 3
-    fld = out_packed >> 2
-    cl_out = jnp.where(fld == 0, CLUSTER_UNDEFINED, fld - 2)
+    cl_plus2 = jnp.where(key_full != _IMAX, cl_plus2, 0)
+    # orig_full carries orig*4+seg — strictly increasing in orig, so it is
+    # still a valid inverse-permutation sort key, and the unsort delivers
+    # the seg labels for free in its low bits: ONE 2-operand sort instead
+    # of a full-cloud scatter (~5x cheaper)
+    so4, out_cl = jax.lax.sort((orig_full, cl_plus2), num_keys=1)
+    seg_out = so4 & 3
+    cl_out = jnp.where(out_cl == 0, CLUSTER_UNDEFINED, out_cl - 2)
     return FusedClusterOut(
         ClusteringResult(cl_out, num_clusters, overflow), seg_out,
         sp.xyz, jnp.where(pt_valid, pt_label, CLUSTER_UNDEFINED), sp.orig)
@@ -624,7 +669,7 @@ def _cluster_core(sp: _SortedPoints,
     s_cap = pcfg.max_supernodes
     no = pcfg.max_obstacle_points
 
-    cells, cell_id_pt, col_id_pt = _build_cells(sp, pcfg)
+    cells, cell_id_pt = _build_cells(sp, pcfg)
     overflow = sp.overflow + cells.overflow
 
     # ---- intra-column candidate links (dense shifted comparisons) --------
@@ -650,7 +695,7 @@ def _cluster_core(sp: _SortedPoints,
         certain = jnp.sum(dr * dr, axis=1) <= r2
         return impossible, certain
 
-    cell_rep = sp.xyz[jnp.clip(cells.start, 0, no - 1)]
+    cell_rep = cells.rep
     intra_link = {}
     intra_tests = []
     for k in (1, 2):
@@ -707,15 +752,21 @@ def _cluster_core(sp: _SortedPoints,
     new_col_c = slot_valid & (cells.col_id != prev_col_c)
     col_idx_of_cell = jnp.cumsum(new_col_c.astype(jnp.int32)) - 1
     n_cols = jnp.sum(new_col_c.astype(jnp.int32))
-    col_first_cell = run_starts(new_col_c, c_cap)
+    # run-start table WITH payloads (as in _build_cells): first cell's
+    # key and supernode id ride the sort instead of being re-gathered
+    pos_c = jnp.arange(m, dtype=jnp.int32)
+    flagged_c = jnp.where(new_col_c, pos_c, _IMAX)
+    sorted3 = jax.lax.sort((flagged_c, cells.key, sn_of_cell), num_keys=1)
+    if c_cap <= m:
+        c_pos, c_key, c_sn = (a[:c_cap] for a in sorted3)
+    else:
+        c_pos, c_key, c_sn = (
+            jnp.concatenate([a, jnp.full((c_cap - m,), _IMAX, a.dtype)])
+            for a in sorted3)
+    col_first_cell = jnp.minimum(c_pos, m)
     col_valid = jnp.arange(c_cap, dtype=jnp.int32) < n_cols
-    cfc = jnp.clip(col_first_cell, 0, m - 1)
-    # column key from the cell's stored col_id? col_id is the per-point
-    # column rank, not the key — recover the xy key from the first cell
-    cell_key_full = jnp.where(slot_valid,
-                              sp.key[jnp.clip(cells.start, 0, no - 1)], _IMAX)
-    col_key = jnp.where(col_valid, cell_key_full[cfc] // _GZ, _IMAX)
-    col_first_sn = jnp.where(col_valid, sn_of_cell[cfc], 0)
+    col_key = jnp.where(col_valid, c_key // _GZ, _IMAX)
+    col_first_sn = jnp.where(col_valid, c_sn, 0)
     nxt_col_first = jnp.concatenate([col_first_cell[1:],
                                      jnp.array([m], jnp.int32)])
     col_last_cell = jnp.where(
@@ -727,19 +778,18 @@ def _cluster_core(sp: _SortedPoints,
     overflow = overflow + jnp.maximum(n_cols - c_cap, 0)
     overflow = overflow + jnp.sum((col_sn_count > 16).astype(jnp.int32))
 
-    u_col, v_col, n_cpairs, ovf_cp = _column_pairs(col_key, n_cols, pcfg)
+    # packed per-column payload (first_sn * 32 + min(count, 31); counts
+    # past 16 already raise the overflow counter above) — carried THROUGH
+    # the pair merge sorts so no pair-list gathers are needed
+    col_info = col_first_sn * 32 + jnp.minimum(col_sn_count, 31)
+    u_col, v_col, pa, pb, n_cpairs, ovf_cp = _column_pairs(
+        col_key, n_cols, col_info, pcfg)
     overflow = overflow + ovf_cp
 
     # ---- expand column pairs to supernode pairs -------------------------
     cp = pcfg.max_column_pairs
     snp = pcfg.max_sn_pairs
     cp_valid = jnp.arange(cp, dtype=jnp.int32) < n_cpairs
-    # ONE packed row gather per side (first_sn * 32 + min(count, 31); counts
-    # past 16 already raise the overflow counter above) instead of four
-    # scalar gathers over the pair list
-    col_info = col_first_sn * 32 + jnp.minimum(col_sn_count, 31)
-    pa = col_info[u_col]
-    pb = col_info[v_col]
     uA = pa // 32
     cA = jnp.where(cp_valid, pa % 32, 0)
     uB = pb // 32
@@ -908,13 +958,19 @@ def _cluster_core(sp: _SortedPoints,
     root_label = jnp.where(comp_valid, ranks, CLUSTER_INVALID)
 
     # ---- per-point labels over the sorted buffer ------------------------
-    # compose gathers through the CELL table (20k rows) so the per-point
-    # hop is ONE 81920-index gather instead of two
+    # compose gathers through the CELL table (20k rows), then expand
+    # cell -> point by scattering each cell's label to its RUN START and
+    # propagating with a segmented broadcast — cells are contiguous runs
+    # in sorted space, so this replaces the 81920-index random gather
+    # (~7 ns/idx, the traced fusion.57 hot spot) with a 20k-input scatter
+    # + one associative scan
     sn_label = root_label[labels]                       # (S,)
     cell_label = sn_label[jnp.clip(sn_of_cell, 0, s_cap - 1)]   # (M,)
     pt_valid = sp.key != _IMAX
+    seed_lab = jnp.full((sp.key.shape[0],), CLUSTER_UNDEFINED, jnp.int32).at[
+        cells.start].set(cell_label, mode="drop")       # invalid: dropped
     pt_label = jnp.where(
-        pt_valid, cell_label[jnp.clip(cell_id_pt, 0, m - 1)],
+        pt_valid, seg_broadcast_first(seed_lab, cell_id_pt),
         CLUSTER_UNDEFINED)
     debug = dict(
         sp=sp, cells=cells, cell_id_pt=cell_id_pt, link1=link1, link2=link2,
@@ -923,6 +979,7 @@ def _cluster_core(sp: _SortedPoints,
         col_sn_count=col_sn_count, u_col=u_col, v_col=v_col,
         n_cpairs=n_cpairs, pu=pu, pv=pv, n_snp=n_snp,
         n_cls=jnp.stack(n_cls),
+        n_edges=n_edges,
         impossible=impossible, certain=certain, snp_edge=snp_edge,
         e_u=e_u, e_v=e_v, e_ok=e_ok, labels=labels,
         tiers1=tiers1, tiers2=tiers2,

@@ -103,7 +103,7 @@ def device_frame_step(
         cl = fused.result
         runs = label_runs_presorted(
             fused.sorted_xyz, fused.sorted_label, fused.sorted_orig,
-            NUM_SLOTS)
+            NUM_SLOTS, orig_bound=xyz.shape[0])
         return _hull_stage(seg, cl, runs, config)
     seg = gpf_segment(xyz, mask, config.segmentation)
     obstacle = mask & (seg.labels == SEG_OBSTACLE)
