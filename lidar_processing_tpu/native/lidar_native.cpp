@@ -621,10 +621,11 @@ int32_t chi_concave_hull(const float* pts, int32_t n, double chi,
 // cluster — the per-call ctypes/GIL overhead dominates at ~150 large
 // clusters/frame). pts holds packed xy pairs; cluster j occupies point
 // offsets [offsets[j], offsets[j+1]). Hull indices (LOCAL to each cluster)
-// are written at the same offsets; out_counts[j] = vertex count. Degenerate
-// clusters (collinear/tiny) fall back to the convex hull, as the
-// single-cluster Python wrapper does. Pass clusters largest-first for the
-// best load balance.
+// are written at the same offsets; out_counts[j] = vertex count, or -2 for
+// degenerate clusters (collinear/tiny/malformed boundary) — the Python
+// wrapper routes those through the same per-cluster fallback chain as
+// chi_concave_hull, keeping batch and single paths output-identical.
+// Pass clusters largest-first for the best load balance.
 void chi_hulls_batch(const float* pts, const int64_t* offsets, int32_t m,
                      double chi, int32_t* out, int32_t* out_counts,
                      int32_t n_threads) {
@@ -637,12 +638,7 @@ void chi_hulls_batch(const float* pts, const int64_t* offsets, int32_t m,
       const int32_t nj = static_cast<int32_t>(offsets[j + 1] - off);
       int32_t k = -2;
       if (nj >= 3) k = chi_hull_impl(pts + 2 * off, nj, chi, out + off, nj);
-      if (k < 0) {  // degenerate: convex fallback
-        auto h = convex_hull_impl(pts + 2 * off, nj);
-        std::memcpy(out + off, h.data(), h.size() * sizeof(int32_t));
-        k = static_cast<int32_t>(h.size());
-      }
-      out_counts[j] = k;
+      out_counts[j] = k < 0 ? -2 : k;
     }
   };
   const int32_t nt = std::max(

@@ -203,8 +203,13 @@ def chi_hulls_batch(packed_xy: np.ndarray, offsets: np.ndarray,
     res = []
     for j in range(m):
         lo, hi = int(offs[j]), int(offs[j + 1])
-        idx = out[lo:lo + int(counts[j])]
-        res.append(pts[lo:hi][idx])
+        k = int(counts[j])
+        if k < 0:
+            # degenerate cluster: same fallback chain as the
+            # single-cluster path (oracle chi-shape, then convex)
+            res.append(chi_concave_hull(pts[lo:hi], chi))
+        else:
+            res.append(pts[lo:hi][out[lo:lo + k]])
     return res
 
 

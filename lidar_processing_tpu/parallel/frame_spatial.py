@@ -187,13 +187,17 @@ def _make_gpf_spatial_fn(mesh: Mesh, axis: str, s: int,
 
 def gpf_spatial(mesh: Mesh, xyz, mask, cfg: SegmentationConfig,
                 scfg: SpatialConfig, clustering_radius: float,
-                axis: str = "space") -> SegmentationResult:
-    """GPF ground segmentation of one padded cloud sharded over `axis`."""
+                axis: str = "space"):
+    """GPF ground segmentation of one padded cloud sharded over `axis`.
+
+    Returns (SegmentationResult, overflow): overflow counts points dropped
+    by the x-band distribution (block_points cap) — they come back
+    SEG_UNKNOWN, and per the package contract that is never silent."""
     s = mesh.shape[axis]
     fn = _make_gpf_spatial_fn(mesh, axis, s, cfg, scfg,
                               float(clustering_radius))
-    labels, normals, ds, pvalid, _ovf = fn(xyz, mask)
-    return SegmentationResult(labels, Plane(normals, ds), pvalid)
+    labels, normals, ds, pvalid, ovf = fn(xyz, mask)
+    return SegmentationResult(labels, Plane(normals, ds), pvalid), ovf
 
 
 def device_frame_step_spatial(mesh: Mesh, xyz, mask, config: EngineConfig,
@@ -211,11 +215,12 @@ def device_frame_step_spatial(mesh: Mesh, xyz, mask, config: EngineConfig,
 
     r = math.sqrt(config.clustering.distance_squared)
     with mesh:
-        seg = gpf_spatial(mesh, xyz, mask, config.segmentation,
-                          config.spatial, r, axis)
+        seg, seg_ovf = gpf_spatial(mesh, xyz, mask, config.segmentation,
+                                   config.spatial, r, axis)
         obstacle = mask & (seg.labels == SEG_OBSTACLE)
         cl = cluster_spatial(mesh, xyz, obstacle, config.clustering,
                              config.pipeline, config.spatial, axis)
+    cl = cl._replace(overflow=cl.overflow + seg_ovf)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def hull(xyz, seg, cl, cfg):

@@ -149,8 +149,8 @@ def cluster_spatial_2d(mesh: Mesh, xyzs, valids, ccfg: ClusteringConfig,
                        space_axis: str = "space") -> ClusteringResult:
     """Exact clustering of a FRAME BATCH on a 2-D hosts x chips mesh.
 
-    xyzs: (B, N, 3); valids: (B, N); B must equal (or be divisible by) the
-    `data_axis` mesh size. Frames shard over `data_axis` (the DP/frame-
+    xyzs: (B, N, 3); valids: (B, N); B must EQUAL the `data_axis` mesh
+    size (chunk larger batches into data-axis-sized calls). Frames shard over `data_axis` (the DP/frame-
     pipelining analogue, ref: src/processor.cpp:93-100) while each frame's
     x-bands shard over `space_axis` with the same halo-exchange label-merge
     machinery as cluster_spatial — per-frame results are bit-identical to

@@ -145,19 +145,6 @@ def _hull_pool():
     return _cf.ThreadPoolExecutor(max_workers=workers)
 
 
-def _host_large_outlines(
-    sorted_xyz: np.ndarray, starts: np.ndarray, counts: np.ndarray,
-    large_ids: np.ndarray, n_large: int, config: EngineConfig,
-) -> List[np.ndarray]:
-    """Outlines for the large clusters from label-run slices."""
-    slices = []
-    for k in range(n_large):
-        c = int(large_ids[k])
-        s, cnt = int(starts[c]), int(counts[c])
-        slices.append(sorted_xyz[s:s + cnt, :2])
-    return _outlines_from_slices(slices, config)
-
-
 def _outlines_from_slices(slices: List[np.ndarray],
                           config: EngineConfig) -> List[np.ndarray]:
     """Large-cluster outlines from per-cluster xy arrays.
@@ -333,7 +320,8 @@ def _assemble_outputs(seg_labels, cl_labels, small_ids, n_small, sh_v, sh_n,
 #
 # Layout (int32 words):
 #   header (8): n_small, n_large, num_clusters, overflow, n_large_pts,
-#               origin_x (f32 bits), origin_y (f32 bits), reserved
+#               origin_x (f32 bits), origin_y (f32 bits),
+#               quantization scale (f32 bits)
 #   labels   (N/2)        two 13-bit codes per word (lo | hi<<16)
 #   zmin     (S) f32 bits; zmax (S) f32 bits
 #   small_ids (SC); sh_counts (SC)

@@ -171,9 +171,10 @@ class TestClusterSpatial:
 
         # seg: within f32-psum wobble of the single-device labels
         with mesh:
-            seg_sp = gpf_spatial(mesh, pc.xyz, pc.mask, tcfg.segmentation,
-                                 scfg, math.sqrt(
-                                     tcfg.clustering.distance_squared))
+            seg_sp, seg_ovf = gpf_spatial(
+                mesh, pc.xyz, pc.mask, tcfg.segmentation, scfg,
+                math.sqrt(tcfg.clustering.distance_squared))
+        assert int(seg_ovf) == 0
         single = device_frame_step(pc.xyz, pc.mask, tcfg)
         seg_diff = int(np.sum(np.asarray(seg_sp.labels)[:n]
                               != np.asarray(single.seg.labels)[:n]))
