@@ -13,7 +13,6 @@ first-class configuration here rather than runtime `reserve()` calls.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,7 +14,6 @@ falling back to the largest-magnitude component positive) — see ACCURACY.md.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12

@@ -30,7 +30,6 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import PipelineConfig
 from ..types import PolygonBatch
 
 

@@ -57,7 +57,7 @@ import jax.numpy as jnp
 from ..config import ClusteringConfig, PipelineConfig
 from ..kernels import union_find as uf
 from ..types import CLUSTER_INVALID, CLUSTER_UNDEFINED, ClusteringResult
-from .scan_utils import compact_mask, run_starts, seg_broadcast_first
+from .scan_utils import compact_mask, seg_broadcast_first
 
 _IMAX = jnp.int32(jnp.iinfo(jnp.int32).max)
 _F_BIG = jnp.float32(1.0e9)

@@ -30,7 +30,6 @@ at s=8 while complicating the cluster-contiguity invariants.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
 

@@ -44,7 +44,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Iterator, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +55,12 @@ class FrameMetrics:
     frames_dropped: int = 0
     # per-stage device times (stage_timing=True only; mirrors the
     # reference's separate seg/cluster/polygonize logs,
-    # ref: src/processor.cpp:167-168,204-205,218-219)
+    # ref: src/processor.cpp:167-168,204-205,218-219). TRIAGE-GRADE:
+    # seg/cluster are separate standalone jits and t_hull is the fused
+    # step's residual after subtracting them, so the split differs from
+    # the fused program's true internals (which share sorts across
+    # stages) — for optimization use the per-op device traces
+    # (tools/profile_stages.py, PERF.md).
     t_seg_ms: Optional[float] = None
     t_cluster_ms: Optional[float] = None
     t_hull_ms: Optional[float] = None
